@@ -1,0 +1,45 @@
+"""Test environment: force a virtual 8-device CPU mesh + stub text encoder.
+
+Must set XLA flags before jax initializes its backends (SURVEY.md §4's
+distributed-test strategy: ``--xla_force_host_platform_device_count=8``).
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('TEXTGCN_TPU_TEXT_ENCODER', 'stub')
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# this image's sitecustomize force-registers the remote 'axon' TPU backend
+# in every process; pin the test session to the local 8-device CPU mesh
+jax.config.update('jax_platforms', 'cpu')
+# exact f32 matmuls so oracle comparisons are deterministic
+jax.config.update('jax_default_matmul_precision', 'highest')
+
+assert len(jax.devices()) == 8, jax.devices()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DUMMY = os.path.join(REPO, 'data', 'dummy')
+
+
+@pytest.fixture(scope='session')
+def dummy_dir():
+    return DUMMY
+
+
+@pytest.fixture(scope='session')
+def dummy_data():
+    from textgcn_tpu.data.core import load_interactions
+    return load_interactions(DUMMY)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(0)

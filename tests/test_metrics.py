@@ -1,0 +1,82 @@
+"""Metrics vs a brute-force per-user implementation (reference
+utils.py:11-63 conventions, incl. IDCG = DCG of min(|true|, k) ones)."""
+
+import numpy as np
+import pytest
+
+from textgcn_tpu.ops.metrics import calculate_metrics, early_stop
+
+
+def brute_force(y_pred, y_true, k):
+    """Direct transcription of the reference's per-user pandas math."""
+    recalls, precisions, hits, ndcgs, f1s = [], [], [], [], []
+    for pred, true in zip(y_pred, y_true):
+        pred_k = list(pred[:k])
+        true_set = set(true)
+        inter = [p for p in pred_k if p in true_set]
+        rec = len(inter) / len(true)
+        prec = len(inter) / k
+        recalls.append(rec)
+        precisions.append(prec)
+        hits.append(1.0 if inter else 0.0)
+        rel = np.array([1.0 if p in true_set else 0.0 for p in pred_k])
+        disc = 1.0 / np.log2(np.arange(2, k + 2))
+        dcg = ((2 ** rel - 1) * disc).sum()
+        ones = min(len(true), k)
+        ideal = np.concatenate([np.ones(ones), np.zeros(k - ones)])
+        idcg = ((2 ** ideal - 1) * disc).sum()
+        ndcgs.append(dcg / idcg)
+        denom = rec + prec
+        f1s.append(0.0 if denom == 0 else 2 * rec * prec / denom)
+    return {
+        'recall': np.mean(recalls), 'precision': np.mean(precisions),
+        'hit': np.mean(hits), 'ndcg': np.mean(ndcgs), 'f1': np.mean(f1s),
+    }
+
+
+def test_metrics_vs_brute_force(rng):
+    n_users, n_items = 20, 50
+    ks = (3, 5, 10)
+    y_pred = np.stack([
+        rng.permutation(n_items)[:max(ks)] for _ in range(n_users)])
+    y_true = [list(rng.choice(n_items, size=rng.randint(1, 8),
+                              replace=False)) for _ in range(n_users)]
+    got = calculate_metrics(y_pred, y_true, ks)
+    for j, k in enumerate(sorted(ks)):
+        want = brute_force(y_pred, y_true, k)
+        for m in ('recall', 'precision', 'hit', 'ndcg', 'f1'):
+            assert got[m][j] == pytest.approx(want[m], rel=1e-9), (m, k)
+
+
+def test_metrics_perfect_prediction():
+    y_true = [[0, 1, 2], [3, 4]]
+    y_pred = np.array([[0, 1, 2, 9, 8], [3, 4, 9, 8, 7]])
+    got = calculate_metrics(y_pred, y_true, (5,))
+    assert got['recall'][0] == pytest.approx(1.0)
+    assert got['hit'][0] == pytest.approx(1.0)
+    assert got['ndcg'][0] == pytest.approx(1.0)
+
+
+def _hist(rows):
+    arr = np.array(rows)
+    return {m: arr for m in ('recall', 'precision', 'hit', 'ndcg', 'f1')}
+
+
+def test_early_stop_truth_table():
+    # <3 evals: never
+    assert not early_stop(_hist([[0.1], [0.2]]))
+    # improving: no stop
+    assert not early_stop(_hist([[0.1], [0.2], [0.3]]))
+    # converged within 1e-4 over last 3
+    assert early_stop(_hist([[0.2], [0.2 + 5e-5], [0.2 + 2e-5]]))
+    # strictly declining 3 evals
+    assert early_stop(_hist([[0.3], [0.2], [0.1]]))
+    # declining then rising: no stop
+    assert not early_stop(_hist([[0.3], [0.1], [0.2]]))
+
+
+def test_early_stop_mixed_metrics():
+    # one metric declining, another improving -> no stop
+    base = _hist([[0.3], [0.2], [0.1]])
+    base['ndcg'] = np.array([[0.1], [0.2], [0.3]])
+    assert not early_stop(base)

@@ -1,0 +1,59 @@
+"""Masked full-catalog scoring + top-k (reference base_model.py:235-266)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from textgcn_tpu.ops.retrieval import (mask_train_items, merge_topk,
+                                       score_and_topk)
+
+
+def test_mask_train_items(rng):
+    b, n_items, max_deg = 4, 12, 3
+    scores = rng.randn(b, n_items).astype(np.float32)
+    pos = np.full((b, max_deg), n_items, dtype=np.int32)
+    pos[0, :2] = [1, 5]
+    pos[1, :1] = [0]
+    pos[2, :3] = [2, 3, 4]
+    masked = np.asarray(mask_train_items(
+        jnp.asarray(scores), jnp.asarray(pos), n_items))
+    assert np.isneginf(masked[0, 1]) and np.isneginf(masked[0, 5])
+    assert np.isneginf(masked[1, 0])
+    assert np.isneginf(masked[2, 2:5]).all()
+    # row 3: nothing masked
+    assert not np.isneginf(masked[3]).any()
+    # unmasked entries untouched
+    keep = ~np.isneginf(masked)
+    np.testing.assert_array_equal(masked[keep], scores[keep])
+
+
+def test_score_and_topk_vs_numpy(rng):
+    b, n_items, d, k = 5, 20, 8, 4
+    ue = rng.randn(b, d).astype(np.float32)
+    ie = rng.randn(n_items, d).astype(np.float32)
+    pos = np.full((b, 3), n_items, dtype=np.int32)
+    pos[0, :2] = [0, 1]
+    vals, idx = score_and_topk(jnp.asarray(ue), jnp.asarray(ie),
+                               jnp.asarray(pos), k=k, n_items=n_items)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    scores = ue @ ie.T
+    scores[0, [0, 1]] = -np.inf
+    for r in range(b):
+        want = np.argsort(-scores[r])[:k]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_allclose(vals[r], scores[r][want], rtol=1e-5)
+
+
+def test_merge_topk(rng):
+    n_shards, b, k = 4, 3, 5
+    vals = rng.randn(n_shards, b, k).astype(np.float32)
+    # simulate per-shard sorted descending
+    vals = -np.sort(-vals, axis=2)
+    idx = rng.randint(0, 1000, size=(n_shards, b, k)).astype(np.int32)
+    mv, mi = merge_topk(jnp.asarray(vals), jnp.asarray(idx), k)
+    mv, mi = np.asarray(mv), np.asarray(mi)
+    for r in range(b):
+        flat_v = vals[:, r, :].reshape(-1)
+        flat_i = idx[:, r, :].reshape(-1)
+        order = np.argsort(-flat_v)[:k]
+        np.testing.assert_allclose(mv[r], flat_v[order], rtol=1e-6)
+        np.testing.assert_array_equal(mi[r], flat_i[order])

@@ -1,0 +1,59 @@
+"""CLI entry point — TPU-native equivalent of reference ``main.py``.
+
+Usage mirrors the reference:
+
+    python -m textgcn_tpu --model lgcn --data data/dummy --epochs 100
+    python -m textgcn_tpu --model ltr_linear --load_base runs/dummy/<uid> \
+        --freeze
+
+Drives: config parse -> seeding -> dataset load -> model build ->
+optional --load / --load_base -> fit -> optional predict-and-save
+(reference ``main.py:27-43``).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .config import get_logger, parse_args
+from .registry import get_class
+from .train.trainer import Trainer
+
+
+def main(argv: list[str] | None = None):
+    cfg = parse_args(argv)
+    logger = get_logger(cfg)
+    loader, model_cls = get_class(cfg.model)
+    logger.info('Class: %s', model_cls.__name__)
+    logger.info('%s', cfg)
+
+    data = loader(cfg)
+    model = model_cls(cfg, data)
+    trainer = Trainer(cfg, model, data)
+    logger.info('Created model %s (%d users x %d items, %d edges)',
+                cfg.uid, data.n_users, data.n_items, data.graph.n_edges)
+
+    if cfg.load:
+        trainer.load(cfg.load)
+    elif cfg.load_base:
+        # warm-start from a pretrained LightGCN; the loaded base is
+        # evaluated with plain GCN scoring before the head takes over
+        # (reference ltr_models.py:66-68,175-179)
+        if hasattr(model, 'score_with_head'):
+            model.score_with_head = False
+            trainer._eval_fn = None
+            trainer.load(cfg.load_base)
+            model.score_with_head = True
+            trainer._eval_fn = None
+        else:
+            trainer.load(cfg.load_base)
+
+    if not cfg.no_train:
+        trainer.fit()
+    if cfg.predict:
+        trainer.predict(range(data.n_users), with_scores=True, save=True)
+    return trainer
+
+
+if __name__ == '__main__':
+    main()

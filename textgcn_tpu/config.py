@@ -1,0 +1,211 @@
+"""Typed configuration for the TPU-native TextGCN framework.
+
+Reproduces the flag surface of the reference CLI (reference:
+``TextGCN/parser.py:11-201``) as a frozen dataclass plus an argparse
+front-end.  Flag names are part of the capability contract, so every
+reference flag exists here with the same name and default, with two
+deliberate fixes documented in SURVEY.md:
+
+* ``--save`` in the reference is ``store_false`` (passing it *disables*
+  saving, reference ``parser.py:60-62``).  We keep saving ON by default and
+  expose ``--no_save`` to disable it; ``--save`` is accepted as a no-op for
+  drop-in compatibility.
+* device selection: the reference sets ``CUDA_VISIBLE_DEVICES`` and picks a
+  single ``torch.device`` (``parser.py:172-174``).  Here the accelerator is
+  owned by JAX; ``--mesh`` describes the (data, model) device mesh instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+
+
+MODEL_CHOICES = (
+    'lgcn',          # LightGCN (BaseModel in the reference)
+    'adv_sampling',  # dynamic negative sampling
+    'ltr_linear',    # LTR linear head over GCN + text features
+    'ltr_pop',       # LTR linear head + popularity features
+)
+
+
+@dataclass
+class Config:
+    # --- model / data ------------------------------------------------------
+    model: str = 'lgcn'
+    data: str = 'data/dummy/'
+    uid: str | None = None
+
+    # --- training regime (defaults mirror reference parser.py:31-118) ------
+    epochs: int = 1000
+    emb_size: int = 64
+    neg_samples: int = 1
+    batch_size: int = 2048
+    evaluate_every: int = 25
+    k: tuple[int, ...] = (20, 40)
+    lr: float = 1e-3
+    reg_lambda: float = 1e-4
+    dropout: float = 0.4
+    n_layers: int = 3
+    single: bool = False          # use only last layer instead of layer mean
+
+    # --- LTR ---------------------------------------------------------------
+    ltr_layers: tuple[int, ...] = ()
+    freeze: bool = False
+    load_base: str | None = None
+
+    # --- persistence -------------------------------------------------------
+    save: bool = True
+    load: str | None = None
+    no_train: bool = False
+    predict: bool = False
+
+    # --- text pipeline (reference parser.py:126-145) ------------------------
+    emb_batch_size: int = 256
+    bert_model: str = 'all-MiniLM-L6-v2'
+    sep: str = '[SEP]'
+
+    # --- misc --------------------------------------------------------------
+    seed: int = 0
+    reshuffle: bool = False
+    quiet: bool = False
+    logging_level: str = 'info'
+    slurm: bool = False
+
+    # --- TPU-native additions (no reference counterpart, SURVEY.md §2.3) ----
+    mesh: str = ''                # e.g. "2x4" -> (data=2, model=4); '' = auto 1-chip
+    data_axis: str = 'data'
+    model_axis: str = 'model'
+    param_dtype: str = 'float32'
+    compute_dtype: str = 'float32'
+    use_pallas: bool = True       # Pallas SpMM kernel on TPU; XLA segment-sum otherwise
+    precompute_adjacency: bool = True
+
+    # --- derived (filled by finalize()) -------------------------------------
+    save_path: str = field(default='', compare=False)
+
+    def finalize(self) -> 'Config':
+        """Derive save_path / sort k / clamp eval cadence.
+
+        Mirrors the post-parse enrichment at reference ``parser.py:161-192``
+        (save_path = runs/<dataset-basename>/<uid>, sorted k,
+        evaluate_every clamped to epochs).
+        """
+        cfg = dataclasses.replace(self)
+        object.__setattr__(cfg, 'k', tuple(sorted(cfg.k)))
+        data = os.path.join(cfg.data, '')
+        object.__setattr__(cfg, 'data', data)
+        uid = cfg.uid or time.strftime('%m-%d-%Hh%Mm%Ss')
+        object.__setattr__(cfg, 'uid', uid)
+        if not cfg.save_path:
+            base = os.path.basename(os.path.dirname(data))
+            object.__setattr__(cfg, 'save_path', os.path.join('runs', base, uid))
+        if cfg.evaluate_every > cfg.epochs:
+            object.__setattr__(cfg, 'evaluate_every', cfg.epochs)
+        return cfg
+
+    def validate(self) -> None:
+        assert self.model in MODEL_CHOICES, f'unknown model {self.model!r}'
+        assert self.load is None or self.load_base is None, \
+            'cannot load both base and trained model'  # reference parser.py:201
+        assert 0.0 <= self.dropout < 1.0
+        assert self.epochs >= 1 and self.batch_size >= 1
+
+    @property
+    def mesh_shape(self) -> tuple[int, int]:
+        """Parse ``--mesh AxB`` into (data, model) sizes; (0, 0) = auto."""
+        if not self.mesh:
+            return (0, 0)
+        a, b = self.mesh.lower().split('x')
+        return (int(a), int(b))
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description='TPU-native TextGCN framework')
+    d = Config()
+    p.add_argument('--model', required=True, choices=MODEL_CHOICES)
+    p.add_argument('--data', '-d', default=d.data)
+    p.add_argument('--uid', type=str, default=None)
+    p.add_argument('--epochs', '-e', type=int, default=d.epochs)
+    p.add_argument('--emb_size', type=int, default=d.emb_size)
+    p.add_argument('--neg_samples', type=int, default=d.neg_samples)
+    p.add_argument('--batch_size', type=int, default=d.batch_size)
+    p.add_argument('--evaluate_every', '--eval_every', type=int,
+                   default=d.evaluate_every)
+    p.add_argument('-k', type=int, nargs='*', default=list(d.k))
+    p.add_argument('--lr', type=float, default=d.lr)
+    p.add_argument('--reg_lambda', type=float, default=d.reg_lambda)
+    p.add_argument('--dropout', type=float, default=d.dropout)
+    p.add_argument('--n_layers', type=int, default=d.n_layers)
+    p.add_argument('--single', action='store_true')
+    p.add_argument('--ltr_layers', type=int, nargs='*', default=[])
+    p.add_argument('--freeze', action='store_true')
+    p.add_argument('--load_base', type=str, default=None)
+    p.add_argument('--no_save', action='store_true',
+                   help='disable checkpointing (saving is on by default)')
+    p.add_argument('--save', action='store_true',
+                   help='accepted for reference CLI compatibility (no-op)')
+    p.add_argument('--load', type=str, default=None)
+    p.add_argument('--no_train', action='store_true')
+    p.add_argument('--predict', action='store_true')
+    p.add_argument('--emb_batch_size', type=int, default=d.emb_batch_size)
+    p.add_argument('--bert_model', type=str, default=d.bert_model)
+    p.add_argument('--separator', '--sep', dest='sep', type=str, default=d.sep)
+    p.add_argument('--seed', type=int, default=d.seed)
+    p.add_argument('--reshuffle', action='store_true')
+    p.add_argument('--quiet', '-q', action='store_true')
+    p.add_argument('--logging_level', default=d.logging_level,
+                   choices=['debug', 'info', 'warn', 'error'])
+    p.add_argument('--slurm', action='store_true')
+    p.add_argument('--mesh', type=str, default=d.mesh)
+    p.add_argument('--no_pallas', action='store_true')
+    return p
+
+
+def parse_args(argv: list[str] | None = None) -> Config:
+    ns = build_argparser().parse_args(argv)
+    cfg = Config(
+        model=ns.model, data=ns.data, uid=ns.uid, epochs=ns.epochs,
+        emb_size=ns.emb_size, neg_samples=ns.neg_samples,
+        batch_size=ns.batch_size, evaluate_every=ns.evaluate_every,
+        k=tuple(ns.k), lr=ns.lr, reg_lambda=ns.reg_lambda,
+        dropout=ns.dropout, n_layers=ns.n_layers, single=ns.single,
+        ltr_layers=tuple(ns.ltr_layers), freeze=ns.freeze,
+        load_base=ns.load_base, save=not ns.no_save, load=ns.load,
+        no_train=ns.no_train, predict=ns.predict,
+        emb_batch_size=ns.emb_batch_size, bert_model=ns.bert_model,
+        sep=ns.sep, seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
+        logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
+        use_pallas=not ns.no_pallas,
+    ).finalize()
+    cfg.validate()
+    return cfg
+
+
+def get_logger(cfg: Config) -> logging.Logger:
+    """File + stream logger with the reference's format.
+
+    Mirrors reference ``utils.py:66-76``: writes ``log.log`` (mode='w') into
+    the run directory and mirrors to stderr; ``--quiet`` forces error level.
+    """
+    os.makedirs(cfg.save_path, exist_ok=True)
+    level_map = {'debug': logging.DEBUG, 'info': logging.INFO,
+                 'warn': logging.WARNING, 'error': logging.ERROR}
+    level = logging.ERROR if cfg.quiet else level_map[cfg.logging_level]
+    logger = logging.getLogger('textgcn_tpu')
+    logger.setLevel(level)
+    logger.handlers.clear()
+    fmt = logging.Formatter('%(asctime)-10s - %(levelname)s: %(message)s',
+                            datefmt='%d/%m/%y %H:%M')
+    fh = logging.FileHandler(os.path.join(cfg.save_path, 'log.log'), mode='w')
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger

@@ -1,0 +1,145 @@
+"""LightGCN model: embedding tables + K-hop propagation + BPR training.
+
+Functional re-design of the reference ``BaseModel``
+(``TextGCN/base_model.py:17-210``): parameters are a plain pytree
+(``{'user_emb', 'item_emb'}``), the graph lives in device edge arrays, and
+every model operation is a pure function suitable for ``jax.jit``/``pjit``.
+The reference's five overridable hooks (layer_aggregation /
+layer_combination / score_pairwise / score_batchwise / get_loss,
+``base_model.py:141-184``) map to the methods below; subclasses (LTR heads,
+adversarial sampling) override the same surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.core import InteractionData
+from ..ops.propagate import representation as _representation
+from ..ops.retrieval import score_and_topk
+from ..ops.sampling import batch_epoch, sample_epoch
+from .losses import bpr_loss, reg_loss
+
+
+class LightGCN:
+    """Static model definition; holds config + device graph arrays."""
+
+    def __init__(self, cfg: Config, data: InteractionData):
+        self.cfg = cfg
+        self.n_users = data.n_users
+        self.n_items = data.n_items
+        self.n_layers = cfg.n_layers
+        self.single = cfg.single
+        self.dropout = cfg.dropout
+        self.reg_lambda = cfg.reg_lambda
+        g = data.graph
+        self.graph_arrays = {
+            'edge_user': jnp.asarray(g.edge_user),
+            'edge_item': jnp.asarray(g.edge_item),
+            'edge_weight': jnp.asarray(g.edge_weight),
+        }
+        self.pos_padded = jnp.asarray(data.pos_padded)
+        self.pos_degree = jnp.asarray(data.pos_degree)
+        self.bucket_len = data.bucket_len
+        self.iterable_len = data.iterable_len
+
+    # --- parameters --------------------------------------------------------
+
+    def init_params(self, key) -> dict[str, Any]:
+        """N(0, 0.1) init as reference ``base_model.py:64-69``."""
+        ku, ki = jax.random.split(key)
+        d = self.cfg.emb_size
+        return {
+            'user_emb': 0.1 * jax.random.normal(ku, (self.n_users, d),
+                                                jnp.float32),
+            'item_emb': 0.1 * jax.random.normal(ki, (self.n_items, d),
+                                                jnp.float32),
+        }
+
+    # --- representation ----------------------------------------------------
+
+    def representation(self, params, *, training: bool = False,
+                       dropout_key=None):
+        """Propagated (users_repr, items_repr); edge dropout in training
+        (reference ``base_model.py:93-106``)."""
+        return _representation(
+            params, self.graph_arrays, self.n_layers, single=self.single,
+            dropout=self.dropout if training else 0.0,
+            dropout_key=dropout_key)
+
+    # --- scoring -----------------------------------------------------------
+
+    def score_pairwise(self, params, reprs, users_emb, items_emb, users,
+                       items):
+        """Dot product per (user, item) pair (reference
+        ``base_model.py:166-171``).  ``users_emb``/``items_emb`` are already
+        gathered propagated rows."""
+        del params, reprs, users, items
+        return (users_emb * items_emb).sum(axis=-1)
+
+    def score_batchwise(self, params, reprs, users):
+        """(B, n_items) all-catalog scores (reference
+        ``base_model.py:173-179``)."""
+        users_repr, items_repr = reprs
+        return jnp.dot(users_repr[users], items_repr.T,
+                       preferred_element_type=jnp.float32)
+
+    # --- loss --------------------------------------------------------------
+
+    def loss(self, params, batch, dropout_key):
+        """Total loss for one batch; returns (loss, aux-dict).
+
+        ``batch`` = (users, pos, negs, mask).  Reproduces reference
+        ``get_loss`` (``base_model.py:181-184``): full-graph propagation per
+        batch, BPR over selu(neg-pos), L2 reg on layer-0 rows.
+        """
+        users, pos, negs, mask = batch
+        users_repr, items_repr = self.representation(
+            params, training=True, dropout_key=dropout_key)
+        u_emb = users_repr[users]
+        pos_scores = self.score_pairwise(params, None, u_emb,
+                                         items_repr[pos], users, pos)
+        neg_scores = jax.vmap(
+            lambda n: self.score_pairwise(params, None, u_emb,
+                                          items_repr[n], users, n),
+            in_axes=1, out_axes=1)(negs)
+        l_bpr = bpr_loss(pos_scores, neg_scores, mask)
+        l_reg = reg_loss(params['user_emb'], params['item_emb'],
+                         users, pos, negs, mask, self.reg_lambda)
+        return l_bpr + l_reg, {'bpr': l_bpr, 'reg': l_reg}
+
+    # --- retrieval ---------------------------------------------------------
+
+    def topk_for_users(self, params, reprs, batch_users, k: int):
+        """Masked full-catalog top-k for a batch of users."""
+        users_repr, items_repr = reprs
+        return score_and_topk(
+            users_repr[batch_users], items_repr,
+            self.pos_padded[batch_users], k=k, n_items=self.n_items)
+
+    # --- epoch sampling -----------------------------------------------------
+
+    def num_batches(self, batch_size: int) -> int:
+        return max(1, -(-self.iterable_len // batch_size))
+
+    def sample_batches(self, key, batch_size: int):
+        """One epoch of shuffled, fixed-shape training batches.
+
+        Returns a tuple of arrays with leading dim ``num_batches``; consumed
+        positionally by ``self.loss``.
+        """
+        users, pos, negs = sample_epoch(
+            key, self.pos_padded, self.pos_degree,
+            bucket_len=self.bucket_len, neg_samples=self.cfg.neg_samples,
+            n_items=self.n_items)
+        return batch_epoch(users, pos, negs, batch_size=batch_size)
+
+    # --- trainable-leaf mask (for freeze support in subclasses) ------------
+
+    def trainable_mask(self, params):
+        return jax.tree.map(lambda _: True, params)

@@ -1,0 +1,106 @@
+"""K-hop LightGCN propagation over the normalized bipartite graph.
+
+TPU-native reformulation of the reference's square sparse matmul
+(``torch.sparse.mm(norm_matrix, emb)`` at reference ``base_model.py:148``).
+Because the adjacency is bipartite,
+
+    A_hat = [[0, R], [R^T, 0]],  R[u,i] = 1/sqrt(deg_u * deg_i)
+
+one square SpMM per layer is equivalent to a pair of rectangular ones:
+
+    users_{l+1} = R   @ items_l   (segment-sum over edges into users)
+    items_{l+1} = R^T @ users_l   (segment-sum over edges into items)
+
+which is what ``propagate`` computes with ``jax.ops.segment_sum`` over the
+edge arrays — static shapes, fully jittable, and XLA fuses the gather /
+scale / scatter-add chain.  Edge dropout (reference ``base_model.py:77-86``)
+becomes a multiplicative Bernoulli mask on the edge weights with 1/(1-p)
+rescale; the two directions get independent masks, matching the reference's
+independent dropout of the (u,i) and (i,u) COO entries of the symmetrized
+matrix.  Layer combination (mean-of-layers, or last layer under
+``--single``) mirrors reference ``base_model.py:150-164``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=('n_users', 'n_items'))
+def _one_hop(user_emb, item_emb, edge_user, edge_item, w_u2i, w_i2u,
+             n_users: int, n_items: int):
+    """One propagation hop: returns (new_user_emb, new_item_emb)."""
+    # messages flowing item -> user (row block R of A_hat)
+    msg_to_user = item_emb[edge_item] * w_i2u[:, None]
+    new_user = jax.ops.segment_sum(msg_to_user, edge_user,
+                                   num_segments=n_users)
+    msg_to_item = user_emb[edge_user] * w_u2i[:, None]
+    new_item = jax.ops.segment_sum(msg_to_item, edge_item,
+                                   num_segments=n_items)
+    return new_user, new_item
+
+
+def dropout_edge_weights(key, edge_weight, dropout: float):
+    """Independent Bernoulli keep-masks for the two edge directions.
+
+    Returns ``(w_u2i, w_i2u)``, each the edge weights with dropped entries
+    zeroed and survivors scaled by ``1/(1-p)`` (reference
+    ``base_model.py:82-84``).  ``dropout == 0`` returns the weights as-is.
+    """
+    if dropout <= 0.0:
+        return edge_weight, edge_weight
+    keep = 1.0 - dropout
+    k1, k2 = jax.random.split(key)
+    m1 = jax.random.bernoulli(k1, keep, edge_weight.shape)
+    m2 = jax.random.bernoulli(k2, keep, edge_weight.shape)
+    scale = 1.0 / keep
+    return (edge_weight * m1 * scale, edge_weight * m2 * scale)
+
+
+def propagate(user_emb, item_emb, edge_user, edge_item, w_u2i, w_i2u,
+              n_layers: int, *, single: bool = False):
+    """K-layer propagation + layer combination.
+
+    Matches reference ``base_model.py:93-106``: keeps the layer-0 embedding
+    in the cache, runs ``n_layers`` hops, then combines by the mean over
+    layers (or takes the last layer when ``single``).
+    """
+    n_users = user_emb.shape[0]
+    n_items = item_emb.shape[0]
+    if single:
+        u, i = user_emb, item_emb
+        for _ in range(n_layers):
+            u, i = _one_hop(u, i, edge_user, edge_item, w_u2i, w_i2u,
+                            n_users, n_items)
+        return u, i
+    acc_u, acc_i = user_emb, item_emb
+    u, i = user_emb, item_emb
+    for _ in range(n_layers):
+        u, i = _one_hop(u, i, edge_user, edge_item, w_u2i, w_i2u,
+                        n_users, n_items)
+        acc_u = acc_u + u
+        acc_i = acc_i + i
+    inv = 1.0 / (n_layers + 1)
+    return acc_u * inv, acc_i * inv
+
+
+def representation(params, graph_arrays, n_layers: int, *, single: bool,
+                   dropout: float = 0.0, dropout_key=None):
+    """Full model representation: propagate embedding tables over the graph.
+
+    ``params``: dict with ``user_emb`` (n_users, d), ``item_emb``
+    (n_items, d).  ``graph_arrays``: dict with ``edge_user``, ``edge_item``,
+    ``edge_weight`` device arrays.  With ``dropout > 0`` and a key, applies
+    edge dropout (training mode, reference ``base_model.py:99``).
+    """
+    ew = graph_arrays['edge_weight']
+    if dropout > 0.0 and dropout_key is not None:
+        w_u2i, w_i2u = dropout_edge_weights(dropout_key, ew, dropout)
+    else:
+        w_u2i = w_i2u = ew
+    return propagate(params['user_emb'], params['item_emb'],
+                     graph_arrays['edge_user'], graph_arrays['edge_item'],
+                     w_u2i, w_i2u, n_layers, single=single)

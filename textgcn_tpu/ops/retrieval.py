@@ -1,0 +1,71 @@
+"""Full-catalog scoring + train-mask + top-k retrieval.
+
+TPU-native replacement for the reference eval hot loop
+(``base_model.py:235-266``): per batch of users it computes the
+(B, n_items) score matrix (one MXU matmul), sets train items to -inf via
+the padded per-user positive matrix (replacing the pandas ``explode`` fancy
+indexing at ``base_model.py:257-258``), and takes ``lax.top_k``.  Everything
+is jitted with static shapes; the catalog axis can additionally be sharded
+(see ``textgcn_tpu/parallel/sharded.py`` for the multi-chip merge).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def mask_train_items(scores, batch_pos_padded, n_items: int):
+    """Set scores of already-interacted items to -inf.
+
+    ``scores``: (B, n_items).  ``batch_pos_padded``: (B, max_deg) padded
+    with ``n_items`` (out-of-range rows are dropped by the scatter's fill).
+    """
+    b = scores.shape[0]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    padded = jnp.concatenate(
+        [scores, jnp.zeros((b, 1), scores.dtype)], axis=1)
+    masked = padded.at[rows, batch_pos_padded].set(NEG_INF)
+    return masked[:, :n_items]
+
+
+@partial(jax.jit, static_argnames=('k', 'n_items'))
+def score_and_topk(users_emb, items_emb, batch_pos_padded, *, k: int,
+                   n_items: int):
+    """Dot-product scores for a user batch against the full catalog,
+    train-masked, and the top-k (values, indices).
+
+    ``users_emb``: (B, d) propagated user reprs; ``items_emb``: (n_items, d).
+    Matches reference ``score_batchwise`` (``base_model.py:173-179``) +
+    masking + ``torch.topk`` (``base_model.py:254-261``).
+    """
+    scores = jnp.dot(users_emb, items_emb.T,
+                     preferred_element_type=jnp.float32)
+    scores = mask_train_items(scores, batch_pos_padded, n_items)
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=('k', 'n_items'))
+def topk_from_scores(scores, batch_pos_padded, *, k: int, n_items: int):
+    """Train-mask precomputed scores and take top-k (LTR heads compute their
+    own score tensors before retrieval)."""
+    scores = mask_train_items(scores, batch_pos_padded, n_items)
+    return jax.lax.top_k(scores, k)
+
+
+def merge_topk(values, indices, k: int):
+    """Merge per-shard top-k results along a shard axis.
+
+    ``values``/``indices``: (n_shards, B, k) where indices are global item
+    ids.  Used by the catalog-sharded eval path: each shard computes its
+    local top-k, shards are all-gathered, and this picks the global top-k.
+    """
+    n_shards, b, _ = values.shape
+    flat_v = jnp.transpose(values, (1, 0, 2)).reshape(b, n_shards * k)
+    flat_i = jnp.transpose(indices, (1, 0, 2)).reshape(b, n_shards * k)
+    top_v, pos = jax.lax.top_k(flat_v, k)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)

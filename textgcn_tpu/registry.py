@@ -1,0 +1,31 @@
+"""Model registry: name -> (dataset loader, model class).
+
+Mirrors the reference's pairing contract at ``main.py:16-22`` — each model
+assumes feature bundles its paired dataset loader precomputed.  Loaders
+return an ``InteractionData`` (optionally extended with text features), and
+model classes consume it.
+"""
+
+from __future__ import annotations
+
+from .config import Config
+
+
+def get_class(name: str):
+    from .data.core import load_interactions
+    from .data.text import load_ltr_data
+    from .models.adv_sampling import AdvSamplModel
+    from .models.lightgcn import LightGCN
+    from .models.ltr import LTRLinear, LTRLinearWPop
+
+    def base_loader(cfg: Config):
+        return load_interactions(cfg.data, reshuffle=cfg.reshuffle,
+                                 seed=cfg.seed)
+
+    registry = {
+        'lgcn': (base_loader, LightGCN),
+        'adv_sampling': (base_loader, AdvSamplModel),
+        'ltr_linear': (load_ltr_data, LTRLinear),
+        'ltr_pop': (load_ltr_data, LTRLinearWPop),
+    }
+    return registry[name]

@@ -1,0 +1,272 @@
+"""Training / evaluation runtime.
+
+TPU-native equivalent of the reference's ``BaseModel.fit / evaluate /
+predict / checkpoint / load_model`` (``base_model.py:108-299``) with the
+same observable contract:
+
+* ``fit``: epoch loop, loss-component running sums logged per eval epoch,
+  evaluation every ``evaluate_every`` epochs, latest/best checkpointing,
+  early stopping (reference ``utils.py:79-90``).
+* ``evaluate``: full-catalog masked top-k over test users + the five
+  metrics per k (reference ``base_model.py:212-233``).
+* ``predict``: ranked item lists (+ scores rounded to 4 decimals) for any
+  user list; optional ``predictions.tsv`` export with external ids
+  (reference ``base_model.py:235-276``).
+* ``checkpoint``: ``latest_checkpoint.pkl`` each eval epoch, copied to
+  ``best.pkl`` when recall@smallest-k reaches a new max (reference
+  ``base_model.py:291-299``).
+* ``load``: accepts a file or a run dir (appends ``best.pkl``), immediately
+  re-evaluates, then resets the metrics history (reference
+  ``base_model.py:278-289``).
+
+Unlike the reference's per-batch Python loop with host-side sampling, the
+whole epoch — negative sampling, shuffling, every train step — runs in one
+jitted call (``lax.scan`` over fixed-shape batches), so the Python/host
+boundary is crossed once per epoch instead of once per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.core import InteractionData
+from ..ops import metrics as metrics_mod
+
+import logging
+
+log = logging.getLogger('textgcn_tpu')
+
+
+class Trainer:
+
+    def __init__(self, cfg: Config, model, data: InteractionData,
+                 params=None, seed_key=None):
+        self.cfg = cfg
+        self.model = model
+        self.data = data
+        self.k = tuple(sorted(cfg.k))
+        self.metrics_names = list(metrics_mod.METRICS)
+        self.metrics_logger = {m: np.zeros((0, len(self.k)))
+                               for m in self.metrics_names}
+
+        key = seed_key if seed_key is not None else jax.random.key(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = params if params is not None \
+            else model.init_params(init_key)
+
+        self.optimizer = self._build_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+
+        self._epoch_fn = None
+        self._eval_fn = None
+
+        # static test-user batching (reference dataset.py:118-120 caches
+        # test batches once at init)
+        bs = cfg.batch_size
+        tu = data.test_users
+        pad = (-len(tu)) % bs
+        self._test_users_padded = np.concatenate(
+            [tu, np.zeros(pad, dtype=tu.dtype)])
+        self._n_test_users = len(tu)
+
+    # ------------------------------------------------------------------
+    # optimizer
+
+    def _build_optimizer(self):
+        adam = optax.adam(self.cfg.lr)
+        mask = self.model.trainable_mask(self.params)
+        if jax.tree.all(jax.tree.map(lambda x: x, mask)):
+            return adam
+        # freeze support (reference ltr_models.py:57-61): frozen leaves get
+        # zero updates
+        return optax.multi_transform(
+            {'train': adam, 'frozen': optax.set_to_zero()},
+            jax.tree.map(lambda t: 'train' if t else 'frozen', mask))
+
+    # ------------------------------------------------------------------
+    # jitted epoch
+
+    def _make_epoch_fn(self, n_batches: int):
+        model, cfg = self.model, self.cfg
+
+        def epoch(params, opt_state, key):
+            k_sample, k_drop = jax.random.split(key)
+            batches = model.sample_batches(k_sample, cfg.batch_size)
+            drop_keys = jax.random.split(k_drop, n_batches)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                *batch, dk = xs
+                (loss, aux), grads = jax.value_and_grad(
+                    model.loss, has_aux=True)(params, tuple(batch), dk)
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux['bpr'], aux['reg'])
+
+            (params, opt_state), (losses, bprs, regs) = jax.lax.scan(
+                step, (params, opt_state), (*batches, drop_keys))
+            sums = {'loss': losses.sum(), 'bpr': bprs.sum(),
+                    'reg': regs.sum(), 'nan': jnp.isnan(losses).any()}
+            return params, opt_state, sums
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _make_eval_fn(self):
+        model, bs = self.model, self.cfg.batch_size
+        max_k = max(self.k)
+
+        def eval_batches(params, users_matrix):
+            reprs = model.representation(params, training=False)
+
+            def one_batch(_, bu):
+                vals, idx = model.topk_for_users(params, reprs, bu, max_k)
+                return None, (vals, idx)
+
+            _, (vals, idx) = jax.lax.scan(one_batch, None, users_matrix)
+            return vals, idx
+
+        return jax.jit(eval_batches)
+
+    # ------------------------------------------------------------------
+    # public API
+
+    def fit(self):
+        """Train for cfg.epochs with periodic eval/checkpoint/early-stop
+        (reference ``base_model.py:108-139``)."""
+        cfg = self.cfg
+        n_batches = self.model.num_batches(cfg.batch_size)
+        if self._epoch_fn is None:
+            self._epoch_fn = self._make_epoch_fn(n_batches)
+
+        t0 = time.time()
+        stopped = False
+        for epoch in range(1, cfg.epochs + 1):
+            self.key, ek = jax.random.split(self.key)
+            self.params, self.opt_state, sums = self._epoch_fn(
+                self.params, self.opt_state, ek)
+            if epoch % cfg.evaluate_every:
+                continue
+            sums = jax.device_get(sums)
+            assert not sums['nan'], f'loss is NA at epoch {epoch}'
+            log.info('Epoch %d: bpr = %.4f reg = %.4f (%.1fs)',
+                     epoch, sums['bpr'], sums['reg'], time.time() - t0)
+            self.evaluate(epoch)
+            self.checkpoint(epoch)
+            if metrics_mod.early_stop(self.metrics_logger):
+                log.warning('Early stopping triggerred at epoch %d', epoch)
+                stopped = True
+                break
+        if not stopped:
+            self.checkpoint(cfg.epochs)
+
+    def evaluate(self, epoch: int | None = None) -> dict[str, list[float]]:
+        on_eval = getattr(self.model, 'on_evaluate', None)
+        if on_eval is not None:
+            on_eval(self.params)
+        preds, _ = self._predict_users(self._test_users_padded)
+        preds = preds[: self._n_test_users]
+        results = metrics_mod.calculate_metrics(
+            preds, self.data.true_test, self.k)
+        log.info(' ' * 11 + ''.join(f'@{i:<6}' for i in self.k))
+        for m in self.metrics_names:
+            self.metrics_logger[m] = np.append(
+                self.metrics_logger[m], [results[m]], axis=0)
+            log.info('%-11s' % m + ' '.join(f'{v:.4f}' for v in results[m]))
+        return results
+
+    def _predict_users(self, users_padded: np.ndarray):
+        """Top-k over the catalog for padded user array; returns numpy
+        (n, max_k) indices and values."""
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+        bs = self.cfg.batch_size
+        mat = jnp.asarray(users_padded.reshape(-1, bs))
+        vals, idx = self._eval_fn(self.params, mat)
+        vals = np.asarray(vals).reshape(-1, max(self.k))
+        idx = np.asarray(idx).reshape(-1, max(self.k))
+        return idx, vals
+
+    def predict(self, users, save: bool = False,
+                with_scores: bool = False):
+        """Ranked items (+ scores) for a user id list; optional TSV export
+        with external ids (reference ``base_model.py:235-276``)."""
+        users = np.asarray(list(users), dtype=np.int32)
+        pad = (-len(users)) % self.cfg.batch_size
+        padded = np.concatenate([users, np.zeros(pad, dtype=users.dtype)])
+        idx, vals = self._predict_users(padded)
+        predictions = idx[:len(users)].tolist()
+        scores = np.round(vals[:len(users)], 4).tolist()
+        if save:
+            import pandas as pd
+            preds_ext = [[self.data.item_id_map[i] for i in row]
+                         for row in predictions]
+            users_ext = [self.data.user_id_map[u] for u in users.tolist()]
+            out = os.path.join(self.cfg.save_path, 'predictions.tsv')
+            pd.DataFrame({'user_id': users_ext, 'y_pred': preds_ext,
+                          'scores': scores}).to_csv(out, sep='\t',
+                                                    index=False)
+            log.info('Predictions are saved in `%s`', out)
+        if with_scores:
+            return predictions, scores
+        return predictions
+
+    # ------------------------------------------------------------------
+    # checkpointing (latest/best contract, reference base_model.py:291-299)
+
+    def checkpoint(self, epoch: int):
+        if not self.cfg.save:
+            return
+        os.makedirs(self.cfg.save_path, exist_ok=True)
+        latest = os.path.join(self.cfg.save_path, 'latest_checkpoint.pkl')
+        state = {
+            'params': jax.tree.map(np.asarray, self.params),
+            'epoch': epoch,
+            'model': self.cfg.model,
+        }
+        with open(latest, 'wb') as f:
+            pickle.dump(state, f)
+        first = self.metrics_logger[self.metrics_names[0]]
+        if len(first) and first[:, 0].max() == first[-1][0]:
+            log.info('Updating best model at epoch %d', epoch)
+            shutil.copyfile(latest,
+                            os.path.join(self.cfg.save_path, 'best.pkl'))
+
+    def load(self, load_path: str):
+        if os.path.isdir(load_path):
+            load_path = os.path.join(load_path, 'best.pkl')
+        log.info('Loading model %s', load_path)
+        with open(load_path, 'rb') as f:
+            state = pickle.load(f)
+        loaded = jax.tree.map(jnp.asarray, state['params'])
+        self.params = self._merge_loaded_params(self.params, loaded)
+        self.opt_state = self.optimizer.init(self.params)
+        log.info('Performance of the loaded model:')
+        self.evaluate()
+        self.metrics_logger = {m: np.zeros((0, len(self.k)))
+                               for m in self.metrics_names}
+
+    @staticmethod
+    def _merge_loaded_params(current, loaded):
+        """Overlay loaded leaves onto the current param tree.
+
+        Supports the ``--load_base`` warm-start flow (reference
+        ``ltr_models.py:66-68``): a plain LightGCN checkpoint loaded into an
+        LTR model only carries the embedding tables; head params keep their
+        fresh init.
+        """
+        merged = dict(current)
+        for k, v in loaded.items():
+            if k in merged:
+                merged[k] = v
+        return merged
