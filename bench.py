@@ -1,0 +1,211 @@
+"""Benchmark harness: BPR train-step throughput (examples/s/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Workload: LightGCN BPR training step at Amazon-Electronics-like scale
+(default 60k users x 25k items, ~600k edges, batch 2048, emb 64, 3 layers,
+edge dropout 0.4) — the reference's hot path (reference
+``base_model.py:117-126``: full-graph propagation + BPR + Adam per batch).
+
+Baseline = the reference's computational path (torch sparse COO mm
+propagation + selu BPR + Adam, single device) executed on this host, since
+the reference repo publishes no numbers (BASELINE.md).  The torch step is a
+behavioral stand-in written from the reference's math, not its code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+N_USERS = 60_000
+N_ITEMS = 25_000
+AVG_DEG = 10
+EMB = 64
+LAYERS = 3
+BATCH = 2048
+DROPOUT = 0.4
+
+
+def synth_edges(seed=0):
+    rng = np.random.RandomState(seed)
+    n_edges = N_USERS * AVG_DEG
+    eu = rng.randint(0, N_USERS, n_edges).astype(np.int32)
+    ei = rng.randint(0, N_ITEMS, n_edges).astype(np.int32)
+    pairs = np.unique(np.stack([eu, ei], 1), axis=0)
+    eu, ei = pairs[:, 0], pairs[:, 1]
+    du = np.bincount(eu, minlength=N_USERS)
+    di = np.bincount(ei, minlength=N_ITEMS)
+    with np.errstate(divide='ignore'):
+        w = 1.0 / np.sqrt(du[eu].astype(np.float64) * di[ei])
+    w[~np.isfinite(w)] = 0
+    return eu, ei, w.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# JAX path (ours)
+
+def bench_jax(steps=30, warmup=5):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from textgcn_tpu.models.losses import bpr_loss, reg_loss
+    from textgcn_tpu.ops.propagate import representation
+    from textgcn_tpu.ops.pallas_spmm import SRC_BLOCK, PallasGraphOp
+
+    eu, ei, w = synth_edges()
+    n_users_t = -(-N_USERS // SRC_BLOCK) * SRC_BLOCK
+    n_items_t = -(-N_ITEMS // SRC_BLOCK) * SRC_BLOCK
+    graph_op = PallasGraphOp(eu, ei, w, n_users_t, n_items_t, EMB)
+
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    params = {
+        'user_emb': 0.1 * jax.random.normal(k1, (n_users_t, EMB)),
+        'item_emb': 0.1 * jax.random.normal(k2, (n_items_t, EMB)),
+    }
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, users, pos, negs, key):
+        u_repr, i_repr = representation(
+            params, graph_op, LAYERS, single=False, dropout=DROPOUT,
+            dropout_key=key)
+        ue = u_repr[users]
+        pos_s = (ue * i_repr[pos]).sum(-1)
+        neg_s = (ue[:, None, :] * i_repr[negs]).sum(-1)
+        mask = jnp.ones(users.shape, bool)
+        return (bpr_loss(pos_s, neg_s, mask)
+                + reg_loss(params['user_emb'], params['item_emb'],
+                           users, pos, negs, mask, 1e-4))
+
+    def step(carry, key):
+        params, opt_state = carry
+        k_b, k_d = jax.random.split(key)
+        ku, kp, kn = jax.random.split(k_b, 3)
+        users = jax.random.randint(ku, (BATCH,), 0, N_USERS)
+        pos = jax.random.randint(kp, (BATCH,), 0, N_ITEMS)
+        negs = jax.random.randint(kn, (BATCH, 1), 0, N_ITEMS)
+        loss, grads = jax.value_and_grad(loss_fn)(params, users, pos,
+                                                  negs, k_d)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    # the real trainer scans whole epochs inside one jitted call
+    # (trainer.py:_make_epoch_fn); benchmark the same shape
+    @jax.jit
+    def run(params, opt_state, key):
+        keys = jax.random.split(key, steps)
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    params, opt_state, losses = run(params, opt_state, jax.random.key(1))
+    losses.block_until_ready()  # warmup + compile
+    t0 = time.perf_counter()
+    params, opt_state, losses = run(params, opt_state, jax.random.key(2))
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt, dt / steps
+
+
+# ---------------------------------------------------------------------------
+# torch reference-path baseline
+
+def bench_torch(steps=8, warmup=2):
+    import torch
+    import torch.nn.functional as F
+
+    eu, ei, w = synth_edges()
+    n = N_USERS + N_ITEMS
+    rows = np.concatenate([eu, ei + N_USERS])
+    cols = np.concatenate([ei + N_USERS, eu])
+    vals = np.concatenate([w, w])
+    adj = torch.sparse_coo_tensor(
+        torch.tensor(np.stack([rows, cols])), torch.tensor(vals),
+        (n, n)).coalesce()
+
+    user_emb = torch.nn.Embedding(N_USERS, EMB)
+    item_emb = torch.nn.Embedding(N_ITEMS, EMB)
+    torch.nn.init.normal_(user_emb.weight, std=0.1)
+    torch.nn.init.normal_(item_emb.weight, std=0.1)
+    opt = torch.optim.Adam(list(user_emb.parameters())
+                           + list(item_emb.parameters()), lr=1e-3)
+
+    def dropout_adj():
+        idx = adj._indices()
+        v = adj._values()
+        mask = torch.rand(len(v)) < (1 - DROPOUT)
+        return torch.sparse_coo_tensor(
+            idx[:, mask], v[mask] / (1 - DROPOUT), adj.size()).coalesce()
+
+    def step():
+        opt.zero_grad()
+        m = dropout_adj()
+        e = torch.cat([user_emb.weight, item_emb.weight])
+        cache = [e]
+        for _ in range(LAYERS):
+            e = torch.sparse.mm(m, e)
+            cache.append(e)
+        out = torch.mean(torch.stack(cache), axis=0)
+        u_repr, i_repr = torch.split(out, [N_USERS, N_ITEMS])
+        users = torch.randint(0, N_USERS, (BATCH,))
+        pos = torch.randint(0, N_ITEMS, (BATCH,))
+        neg = torch.randint(0, N_ITEMS, (BATCH,))
+        ue = u_repr[users]
+        pos_s = (ue * i_repr[pos]).sum(-1)
+        neg_s = (ue * i_repr[neg]).sum(-1)
+        loss = torch.mean(F.selu(neg_s - pos_s))
+        reg = 1e-4 * (user_emb(users).norm(2).pow(2)
+                      + item_emb(pos).norm(2).pow(2)
+                      + item_emb(neg).norm(2).pow(2)) / BATCH / 2
+        (loss + reg).backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt, dt / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=30)
+    ap.add_argument('--skip_baseline', action='store_true')
+    args = ap.parse_args()
+
+    jax_eps, jax_step = bench_jax(steps=args.steps)
+    if args.skip_baseline:
+        torch_eps = None
+    else:
+        torch_eps, torch_step = bench_torch()
+
+    import jax
+    result = {
+        'metric': 'bpr_train_examples_per_s_per_chip',
+        'value': round(jax_eps, 1),
+        'unit': 'examples/s',
+        'vs_baseline': round(jax_eps / torch_eps, 2) if torch_eps else None,
+        'extra': {
+            'step_ms': round(jax_step * 1e3, 2),
+            'baseline_examples_per_s': round(torch_eps, 1)
+            if torch_eps else None,
+            'device': str(jax.devices()[0]),
+            'n_users': N_USERS, 'n_items': N_ITEMS,
+            'batch': BATCH, 'emb': EMB, 'layers': LAYERS,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

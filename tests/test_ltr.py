@@ -1,0 +1,144 @@
+"""LTR heads: feature math, fused batchwise == naive featurewise, e2e."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textgcn_tpu.config import Config
+from textgcn_tpu.data.text import load_ltr_data
+from textgcn_tpu.models.ltr import LTRLinear, LTRLinearWPop, collapse_tower
+from textgcn_tpu.train.trainer import Trainer
+
+
+def make_cfg(tmp_path, dummy_dir, **kw):
+    defaults = dict(model='ltr_linear', data=str(dummy_dir), epochs=4,
+                    evaluate_every=2, batch_size=16, emb_size=16,
+                    n_layers=2, dropout=0.2, k=(3, 5), seed=0,
+                    save_path=str(tmp_path / 'run'))
+    defaults.update(kw)
+    cfg = Config(**defaults).finalize()
+    cfg.validate()
+    return cfg
+
+
+@pytest.fixture(scope='module')
+def ltr_data(dummy_dir, tmp_path_factory):
+    cfg = make_cfg(tmp_path_factory.mktemp('ltr'), dummy_dir)
+    return load_ltr_data(cfg)
+
+
+def test_ltr_data_tensors(ltr_data):
+    d = ltr_data
+    assert d.items_as_desc.shape == (d.n_items, d.text_dim)
+    assert d.items_as_avg_reviews.shape == (d.n_items, d.text_dim)
+    assert d.users_as_avg_reviews.shape == (d.n_users, d.text_dim)
+    assert d.users_as_avg_desc.shape == (d.n_users, d.text_dim)
+    assert d.popularity_users.shape == (d.n_users, 1)
+    assert d.popularity_items.shape == (d.n_items, 1)
+    # every dummy item has a description and at least one train review
+    assert (np.abs(d.items_as_desc).sum(axis=1) > 0).all()
+    assert (np.abs(d.items_as_avg_reviews).sum(axis=1) > 0).all()
+    # popularity normalized to (0, 1]
+    assert d.popularity_users.max() == pytest.approx(1.0)
+    assert d.popularity_items.min() >= 0.0
+
+
+def test_collapse_tower_matches_apply(rng):
+    tower = []
+    sizes = [5, 3, 1]
+    for i, j in zip(sizes, sizes[1:]):
+        tower.append({'w': jnp.asarray(rng.randn(i, j).astype(np.float32)),
+                      'b': jnp.asarray(rng.randn(j).astype(np.float32))})
+    x = jnp.asarray(rng.randn(7, 5).astype(np.float32))
+    full = x
+    for layer in tower:
+        full = full @ layer['w'] + layer['b']
+    w, b = collapse_tower(tower)
+    np.testing.assert_allclose(np.asarray(x @ w + b),
+                               np.asarray(full[:, 0]), atol=1e-5)
+
+
+@pytest.mark.parametrize('cls', [LTRLinear, LTRLinearWPop])
+def test_fused_batchwise_matches_naive(cls, ltr_data, tmp_path, dummy_dir,
+                                       rng):
+    cfg = make_cfg(tmp_path, dummy_dir,
+                   model='ltr_pop' if cls is LTRLinearWPop else 'ltr_linear')
+    model = cls(cfg, ltr_data)
+    params = model.init_params(jax.random.key(0))
+    reprs = model.representation(params, training=False)
+    users = jnp.asarray(np.arange(5, dtype=np.int32))
+
+    fused = np.asarray(model.fused_batch_scores(params, reprs, users))
+
+    # naive: per (user, item) pairwise features through the tower
+    users_repr, items_repr = reprs
+    all_items = jnp.arange(model.n_items, dtype=jnp.int32)
+    naive = np.zeros_like(fused)
+    for r, u in enumerate(np.asarray(users)):
+        uu = jnp.full((model.n_items,), int(u), dtype=jnp.int32)
+        scores = model.score_pairwise(
+            params, None, users_repr[uu], items_repr[all_items], uu,
+            all_items)
+        naive[r] = np.asarray(scores)
+    np.testing.assert_allclose(fused, naive, atol=1e-4)
+
+
+def test_freeze_masks_embeddings(ltr_data, tmp_path, dummy_dir):
+    cfg = make_cfg(tmp_path, dummy_dir, freeze=True)
+    model = LTRLinear(cfg, ltr_data)
+    params = model.init_params(jax.random.key(0))
+    mask = model.trainable_mask(params)
+    assert mask['user_emb'] is False and mask['item_emb'] is False
+
+    trainer = Trainer(cfg, model, ltr_data)
+    before = np.asarray(trainer.params['user_emb']).copy()
+    trainer.fit()
+    after = np.asarray(trainer.params['user_emb'])
+    np.testing.assert_array_equal(before, after)  # frozen
+    # tower did train
+    assert len(trainer.metrics_logger['recall']) >= 1
+
+
+def test_load_base_warm_start(ltr_data, tmp_path, dummy_dir):
+    """Full reference recipe: train lgcn, then ltr_linear --load_base."""
+    from textgcn_tpu.models.lightgcn import LightGCN
+
+    base_cfg = make_cfg(tmp_path, dummy_dir, model='lgcn', uid='base',
+                        epochs=6, evaluate_every=3,
+                        save_path=str(tmp_path / 'base_run'))
+    base_model = LightGCN(base_cfg, ltr_data)
+    base_trainer = Trainer(base_cfg, base_model, ltr_data)
+    base_trainer.fit()
+    assert os.path.exists(os.path.join(base_cfg.save_path, 'best.pkl'))
+
+    cfg = make_cfg(tmp_path, dummy_dir, freeze=True, uid='ltr')
+    model = LTRLinear(cfg, ltr_data)
+    trainer = Trainer(cfg, model, ltr_data)
+    # base evaluated with plain GCN scoring (reference ltr_models.py:66-68)
+    model.score_with_head = False
+    trainer.load(base_cfg.save_path)
+    model.score_with_head = True
+    trainer._eval_fn = None
+
+    with open(os.path.join(base_cfg.save_path, 'best.pkl'), 'rb') as f:
+        base_params = pickle.load(f)['params']
+    np.testing.assert_array_equal(
+        np.asarray(trainer.params['user_emb']), base_params['user_emb'])
+    assert 'tower' in trainer.params  # head kept its fresh init
+
+    trainer.fit()
+    assert len(trainer.metrics_logger['recall']) >= 1
+
+
+def test_wpop_end_to_end(ltr_data, tmp_path, dummy_dir):
+    cfg = make_cfg(tmp_path, dummy_dir, model='ltr_pop',
+                   ltr_layers=(4,))
+    model = LTRLinearWPop(cfg, ltr_data)
+    assert model.n_features == 7
+    trainer = Trainer(cfg, model, ltr_data)
+    trainer.fit()
+    assert np.isfinite(trainer.metrics_logger['recall']).all()

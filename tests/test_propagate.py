@@ -62,16 +62,62 @@ def test_dropout_zero_is_identity(dummy_data):
     np.testing.assert_array_equal(np.asarray(w2), g.edge_weight)
 
 
+def _make_op(g, pad_multiple=1):
+    from textgcn_tpu.ops.spmm import BipartiteGraphOp
+    return BipartiteGraphOp(g.edge_user, g.edge_item, g.edge_weight,
+                            g.n_users, g.n_items, pad_multiple=pad_multiple)
+
+
 def test_representation_eval_deterministic(dummy_data, rng):
     g = dummy_data.graph
     params = {
         'user_emb': jnp.asarray(rng.randn(g.n_users, 8).astype(np.float32)),
         'item_emb': jnp.asarray(rng.randn(g.n_items, 8).astype(np.float32)),
     }
-    arrays = {'edge_user': jnp.asarray(g.edge_user),
-              'edge_item': jnp.asarray(g.edge_item),
-              'edge_weight': jnp.asarray(g.edge_weight)}
-    u1, i1 = representation(params, arrays, 3, single=False)
-    u2, i2 = representation(params, arrays, 3, single=False)
+    op = _make_op(g)
+    u1, i1 = representation(params, op, 3, single=False)
+    u2, i2 = representation(params, op, 3, single=False)
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_spmm_op_matches_dense(dummy_data, rng):
+    """BipartiteGraphOp representation == dense oracle, incl. padded edges
+    and the custom-VJP gradient vs jax-native autodiff."""
+    import jax as _jax
+
+    g = dummy_data.graph
+    d = 8
+    ue = rng.randn(g.n_users, d).astype(np.float32)
+    ie = rng.randn(g.n_items, d).astype(np.float32)
+    params = {'user_emb': jnp.asarray(ue), 'item_emb': jnp.asarray(ie)}
+    dense = dense_normalized_adjacency(g)
+    want_u, want_i = _dense_reference(dense, ue, ie, 3, False)
+
+    for pad in (1, 8):
+        op = _make_op(g, pad_multiple=pad)
+        got_u, got_i = representation(params, op, 3, single=False)
+        np.testing.assert_allclose(np.asarray(got_u), want_u, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_i), want_i, atol=1e-4)
+
+    # gradient parity: custom VJP vs differentiating the plain formulation
+    op = _make_op(g)
+
+    def loss_op(p):
+        u, i = representation(p, op, 2, single=False)
+        return (u.sum() + (i * i).sum())
+
+    def loss_plain(p):
+        u, i = propagate(
+            p['user_emb'], p['item_emb'],
+            jnp.asarray(g.edge_user), jnp.asarray(g.edge_item),
+            jnp.asarray(g.edge_weight), jnp.asarray(g.edge_weight),
+            2, single=False)
+        return (u.sum() + (i * i).sum())
+
+    g1 = _jax.grad(loss_op)(params)
+    g2 = _jax.grad(loss_plain)(params)
+    np.testing.assert_allclose(np.asarray(g1['user_emb']),
+                               np.asarray(g2['user_emb']), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1['item_emb']),
+                               np.asarray(g2['item_emb']), atol=1e-4)

@@ -67,6 +67,26 @@ class InteractionData:
     test_df: pd.DataFrame = field(repr=False)
     user_mapping: pd.DataFrame = field(repr=False)  # org_id <-> remap_id
     item_mapping: pd.DataFrame = field(repr=False)
+    # table sizes rounded up for mesh sharding; phantom rows have no edges,
+    # are never sampled, and are sliced out of retrieval (== real counts on
+    # a single chip)
+    n_users_padded: int = 0
+    n_items_padded: int = 0
+
+    def __post_init__(self):
+        if not self.n_users_padded:
+            self.n_users_padded = self.n_users
+        if not self.n_items_padded:
+            self.n_items_padded = self.n_items
+
+    def padded_to(self, multiple: int) -> 'InteractionData':
+        """Copy with table sizes rounded up to ``multiple`` (for row-sharded
+        embedding tables over a device mesh)."""
+        import dataclasses
+        return dataclasses.replace(
+            self,
+            n_users_padded=-(-self.n_users // multiple) * multiple,
+            n_items_padded=-(-self.n_items // multiple) * multiple)
 
     @property
     def bucket_len(self) -> int:

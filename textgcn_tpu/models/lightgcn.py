@@ -33,16 +33,47 @@ class LightGCN:
         self.cfg = cfg
         self.n_users = data.n_users
         self.n_items = data.n_items
+        # propagation backend: the Pallas tiled one-hot SpMM kernel on TPU
+        # (ops/pallas_spmm.py — ~25x faster than the XLA scatter path on
+        # v5e), the XLA sorted-segment-sum op elsewhere.
+        # TEXTGCN_TPU_PALLAS=0|1|interpret overrides.
+        import os
+        override = os.environ.get('TEXTGCN_TPU_PALLAS', '')
+        platform = jax.devices()[0].platform.lower()
+        on_tpu = 'tpu' in platform or platform == 'axon'
+        if override == '0':
+            self.backend = 'xla'
+        elif override == 'interpret':
+            self.backend = 'pallas_interpret'
+        elif override == '1' or (cfg.use_pallas and on_tpu):
+            self.backend = 'pallas'
+        else:
+            self.backend = 'xla'
+        # embedding-table row counts (>= real counts when mesh-sharded;
+        # rounded to the kernel's source-block size under pallas)
+        table_round = 1
+        if self.backend != 'xla':
+            from ..ops.pallas_spmm import SRC_BLOCK
+            table_round = SRC_BLOCK
+        self.n_users_t = -(-data.n_users_padded // table_round) * table_round
+        self.n_items_t = -(-data.n_items_padded // table_round) * table_round
         self.n_layers = cfg.n_layers
         self.single = cfg.single
         self.dropout = cfg.dropout
         self.reg_lambda = cfg.reg_lambda
         g = data.graph
-        self.graph_arrays = {
-            'edge_user': jnp.asarray(g.edge_user),
-            'edge_item': jnp.asarray(g.edge_item),
-            'edge_weight': jnp.asarray(g.edge_weight),
-        }
+        self._edges = (g.edge_user, g.edge_item, g.edge_weight)
+        if self.backend == 'xla':
+            from ..ops.spmm import BipartiteGraphOp
+            self.graph_op = BipartiteGraphOp(
+                g.edge_user, g.edge_item, g.edge_weight,
+                self.n_users_t, self.n_items_t)
+        else:
+            from ..ops.pallas_spmm import PallasGraphOp
+            self.graph_op = PallasGraphOp(
+                g.edge_user, g.edge_item, g.edge_weight,
+                self.n_users_t, self.n_items_t, cfg.emb_size,
+                interpret=self.backend == 'pallas_interpret')
         self.pos_padded = jnp.asarray(data.pos_padded)
         self.pos_degree = jnp.asarray(data.pos_degree)
         self.bucket_len = data.bucket_len
@@ -55,9 +86,9 @@ class LightGCN:
         ku, ki = jax.random.split(key)
         d = self.cfg.emb_size
         return {
-            'user_emb': 0.1 * jax.random.normal(ku, (self.n_users, d),
+            'user_emb': 0.1 * jax.random.normal(ku, (self.n_users_t, d),
                                                 jnp.float32),
-            'item_emb': 0.1 * jax.random.normal(ki, (self.n_items, d),
+            'item_emb': 0.1 * jax.random.normal(ki, (self.n_items_t, d),
                                                 jnp.float32),
         }
 
@@ -68,7 +99,7 @@ class LightGCN:
         """Propagated (users_repr, items_repr); edge dropout in training
         (reference ``base_model.py:93-106``)."""
         return _representation(
-            params, self.graph_arrays, self.n_layers, single=self.single,
+            params, self.graph_op, self.n_layers, single=self.single,
             dropout=self.dropout if training else 0.0,
             dropout_key=dropout_key)
 

@@ -1,0 +1,393 @@
+"""Pallas TPU kernel for the bipartite SpMM (LightGCN propagation).
+
+Why a kernel: XLA lowers the gather/scatter pair of the segment-sum
+formulation to latency-bound per-row HBM accesses (~6-10 ms per direction
+for 600k x 64 edges on v5e — a few % of HBM peak; measured).  Mosaic also
+cannot vectorize per-edge dynamic indexing.  This kernel reformulates SpMM
+as **dense one-hot matmuls on the MXU** over sparse tiles:
+
+1. Host-side, edges are sorted into (dst_block x src_block) tiles
+   (512 x 512), padded per tile to chunks of 128 edges, and chunks are
+   padded per dst block into groups of 8 (one (8, 128) metadata tile per
+   DMA — per-chunk 512-byte DMAs were the first bottleneck).
+2. Per chunk, a (128 x 512) one-hot of the source-local ids *gathers* the
+   chunk's source rows as an MXU matmul ``C = S_src @ X_block``; the whole
+   group is then *scattered* by ONE merged (512 x 1024) one-hot matmul
+   ``out += S_dst @ concat(C_j * w_j)`` (fewer, larger MXU ops).
+3. The grid is (dst_block, group_slot); ragged group counts per dst block
+   are handled with scalar-prefetched group pointers driving the
+   index_maps (the canonical block-sparse Pallas pattern), and the output
+   tile accumulates in VMEM across the group_slot grid dimension.
+
+Per-edge cost is (SRC_BLOCK + DST_BLOCK) * d * 2 FLOPs of dense MXU work —
+~130 kFLOP at d=64 — turning a latency-bound scatter into ~100 GFLOP of
+matmul per 600k-edge direction: measured ~1.2 ms vs 7-10 ms for the XLA
+segment-sum path on v5e.  At the default (bf16-pass) precision the one-hot
+selection rounds table values to bf16 (~1e-3 relative);
+``TEXTGCN_TPU_PALLAS_PRECISION=highest`` gives exact f32 at ~4x the cost.
+
+The source table must be padded to a multiple of SRC_BLOCK rows; tables
+larger than ``TiledSpMM.VMEM_X_BUDGET`` are processed in source-range
+splits (sliced tables, summed partial outputs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DST_BLOCK = 512
+SRC_BLOCK = 512
+CHUNK = 128
+GROUP = 8   # chunks fetched per grid step: one (8, 128) metadata tile per
+            # DMA instead of eight 512-byte DMAs (the kernel is DMA-issue
+            # bound otherwise — measured 8.5 -> ~2 ms per 600k-edge call)
+# DEFAULT runs the one-hot matmuls as single-pass bf16 (~4x faster than
+# HIGHEST's multi-pass f32 on v5e: 1.9 vs 8.1 ms per 600k-edge call) at
+# ~1e-3 relative error from bf16-rounding the table values — fine for
+# training.  Set TEXTGCN_TPU_PALLAS_PRECISION=highest for exact f32
+# (bit-parity runs, numeric debugging).
+import os as _os
+PRECISION = (jax.lax.Precision.HIGHEST
+             if _os.environ.get('TEXTGCN_TPU_PALLAS_PRECISION', '')
+             .lower() == 'highest' else jax.lax.Precision.DEFAULT)
+
+
+def _kernel(ptr_ref, sb_ref, packed_ref, w_ref, x_ref, out_ref):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    g = ptr_ref[b] + t
+
+    @pl.when(g < ptr_ref[b + 1])
+    def _():
+        # per chunk: one-hot gather matmul; then ONE merged scatter matmul
+        # for the whole group (fewer, larger MXU ops — measured faster than
+        # per-chunk scatters)
+        rows_all = []
+        for j in range(GROUP):                        # static unroll
+            sb = sb_ref[g * GROUP + j]
+            packed = packed_ref[0, j, :]              # (CHUNK,) int32
+            src_local = packed & 0xFFFF
+            start = pl.multiple_of(sb * SRC_BLOCK, SRC_BLOCK)
+            xb = x_ref[pl.ds(start, SRC_BLOCK), :]    # (SRC_BLOCK, d)
+
+            s_gather = (src_local[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, SRC_BLOCK), 1)).astype(jnp.float32)
+            rows = jnp.dot(s_gather, xb, precision=PRECISION,
+                           preferred_element_type=jnp.float32)  # (CHUNK, d)
+            rows_all.append(rows * w_ref[0, j, :][:, None])
+
+        rows_cat = jnp.concatenate(rows_all, axis=0)  # (GROUP*CHUNK, d)
+        dst_all = packed_ref[0].reshape(-1) >> 16     # (GROUP*CHUNK,)
+        s_scatter = (jax.lax.broadcasted_iota(
+            jnp.int32, (DST_BLOCK, GROUP * CHUNK), 0)
+            == dst_all[None, :]).astype(jnp.float32)
+        out_ref[:] += jnp.dot(s_scatter, rows_cat, precision=PRECISION,
+                              preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('n_dst_blocks', 'max_groups',
+                                             'interpret'))
+def pallas_spmm(group_ptr, chunk_sb, packed, w, x, *, n_dst_blocks: int,
+                max_groups: int, interpret: bool = False):
+    """Blocked one-hot SpMM.  ``x`` rows must be padded to SRC_BLOCK.
+
+    ``packed``/``w`` have shape (n_groups, GROUP, CHUNK); ``group_ptr``
+    delimits each destination block's group range; ``chunk_sb`` maps every
+    chunk to its source block.
+    """
+    d = x.shape[1]
+    n_groups = packed.shape[0]
+
+    def group_map(b, t, ptr, sb):
+        return (jnp.minimum(ptr[b] + t, n_groups - 1), 0, 0)
+
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[
+                pl.BlockSpec((1, GROUP, CHUNK), group_map,
+                             memory_space=pltpu.VMEM),     # packed locals
+                pl.BlockSpec((1, GROUP, CHUNK), group_map,
+                             memory_space=pltpu.VMEM),     # weights
+                pl.BlockSpec(x.shape, lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),     # source table
+            ],
+            out_specs=pl.BlockSpec((DST_BLOCK, d), lambda b, t, *_: (b, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * DST_BLOCK, d),
+                                       jnp.float32),
+        interpret=interpret,
+    )(group_ptr, chunk_sb, packed, w, x)
+
+
+class PallasDirection:
+    """Host-precomputed tiled layout for one propagation direction.
+
+    Call with a (n_src_padded, d) table; returns (n_dst, d).  ``w`` may be
+    overridden per call (dropout); it must be in this direction's padded
+    edge order — use ``edge_endpoints`` to compute order-independent
+    per-edge masks (e.g. hash-based dropout).
+    """
+
+    def __init__(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                 n_src: int, n_dst: int):
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        w = np.asarray(w, np.float32)
+        self.n_dst = int(n_dst)
+        self.n_src_padded = -(-int(n_src) // SRC_BLOCK) * SRC_BLOCK
+        self.n_dst_blocks = max(1, -(-int(n_dst) // DST_BLOCK))
+        n_src_blocks = self.n_src_padded // SRC_BLOCK
+
+        tile = (dst // DST_BLOCK) * n_src_blocks + (src // SRC_BLOCK)
+        order = np.argsort(tile, kind='stable')
+        src, dst, w, tile = src[order], dst[order], w[order], tile[order]
+
+        # pad each tile's edge run to a CHUNK multiple
+        uniq, counts = np.unique(tile, return_counts=True)
+        padded_counts = -(-counts // CHUNK) * CHUNK
+        total = int(padded_counts.sum())
+        src_p = np.zeros(total, np.int64)
+        dst_p = np.zeros(total, np.int64)
+        w_p = np.zeros(total, np.float32)
+        # padding edges carry w=0 and point at local row 0 of their own tile
+        tile_p = np.repeat(uniq, padded_counts)
+        out_pos = (np.cumsum(padded_counts) - padded_counts)
+        in_pos = np.cumsum(counts) - counts
+        idx = np.concatenate([
+            np.arange(c) + o for c, o in zip(counts, out_pos)])
+        src_p[idx] = src
+        dst_p[idx] = dst
+        w_p[idx] = w
+        # padding entries: src_local=0/dst_local=0 within their tile
+        pad_mask = np.ones(total, bool)
+        pad_mask[idx] = False
+        pad_tiles = tile_p[pad_mask]
+        src_p[pad_mask] = (pad_tiles % n_src_blocks) * SRC_BLOCK
+        dst_p[pad_mask] = (pad_tiles // n_src_blocks) * DST_BLOCK
+
+        n_chunks0 = total // CHUNK
+        packed0 = (((dst_p % DST_BLOCK).astype(np.int32) << 16)
+                   | (src_p % SRC_BLOCK).astype(np.int32)
+                   ).reshape(n_chunks0, CHUNK)
+        w0 = w_p.reshape(n_chunks0, CHUNK)
+        sb0 = (tile_p.reshape(-1, CHUNK)[:, 0] % n_src_blocks) \
+            .astype(np.int32)
+        db0 = (tile_p.reshape(-1, CHUNK)[:, 0] // n_src_blocks) \
+            .astype(np.int64)
+        dst_ids0 = np.full(total, -1, np.int64)
+        src_ids0 = np.full(total, -1, np.int64)
+        dst_ids0[idx], src_ids0[idx] = (dst, src)
+        dst_ids0 = dst_ids0.reshape(n_chunks0, CHUNK)
+        src_ids0 = src_ids0.reshape(n_chunks0, CHUNK)
+
+        # pad each dst block's chunk list to a GROUP multiple so the kernel
+        # fetches GROUP chunks per (8, 128)-tile DMA
+        cptr = np.searchsorted(db0, np.arange(self.n_dst_blocks + 1))
+        counts_b = np.diff(cptr)
+        padded_b = -(-counts_b // GROUP) * GROUP
+        n_chunks = int(padded_b.sum())
+        sel = np.concatenate([
+            np.arange(c) + o for c, o in zip(counts_b, cptr[:-1])]) \
+            if n_chunks0 else np.zeros(0, np.int64)
+        pos = np.concatenate([
+            np.arange(c) + o
+            for c, o in zip(counts_b, np.cumsum(padded_b) - padded_b)]) \
+            if n_chunks0 else np.zeros(0, np.int64)
+        packed = np.zeros((n_chunks, CHUNK), np.int32)
+        w_arr = np.zeros((n_chunks, CHUNK), np.float32)
+        sb = np.zeros(n_chunks, np.int32)
+        dst_ids = np.full((n_chunks, CHUNK), -1, np.int64)
+        src_ids = np.full((n_chunks, CHUNK), -1, np.int64)
+        packed[pos] = packed0[sel]
+        w_arr[pos] = w0[sel]
+        sb[pos] = sb0[sel]
+        dst_ids[pos] = dst_ids0[sel]
+        src_ids[pos] = src_ids0[sel]
+
+        self.n_chunks = n_chunks
+        self.n_groups = max(n_chunks // GROUP, 1)
+        self.packed = jnp.asarray(
+            np.resize(packed, (self.n_groups * GROUP, CHUNK))
+            .reshape(self.n_groups, GROUP, CHUNK))
+        self.w = jnp.asarray(
+            np.resize(w_arr, (self.n_groups * GROUP, CHUNK))
+            .reshape(self.n_groups, GROUP, CHUNK))
+        self.chunk_sb = jnp.asarray(
+            np.resize(sb, (self.n_groups * GROUP,)))
+        gptr = (np.cumsum(np.concatenate([[0], padded_b])) // GROUP) \
+            .astype(np.int32)
+        self.group_ptr = jnp.asarray(gptr)
+        self.max_groups = max(int(np.diff(gptr).max()), 1)
+        self.dst_ids = jnp.asarray(
+            np.resize(dst_ids, (self.n_groups * GROUP, CHUNK))
+            .astype(np.int32).reshape(self.n_groups, GROUP, CHUNK))
+        self.src_ids = jnp.asarray(
+            np.resize(src_ids, (self.n_groups * GROUP, CHUNK))
+            .astype(np.int32).reshape(self.n_groups, GROUP, CHUNK))
+
+    def __call__(self, x, w=None, interpret: bool = False):
+        assert x.shape[0] == self.n_src_padded, \
+            f'table must be padded to {self.n_src_padded}, got {x.shape}'
+        out = pallas_spmm(
+            self.group_ptr, self.chunk_sb, self.packed,
+            self.w if w is None else w, x,
+            n_dst_blocks=self.n_dst_blocks, max_groups=self.max_groups,
+            interpret=interpret)
+        return out[:self.n_dst]
+
+
+# ---------------------------------------------------------------------------
+# hash-based edge dropout (order-independent)
+
+_M1 = np.uint32(2654435761)
+_M2 = np.uint32(2246822519)
+_F1 = np.uint32(0x7FEB352D)
+_F2 = np.uint32(0x846CA68B)
+
+
+def edge_dropout_scale(user_ids, item_ids, salt, keep):
+    """Per-edge keep/(1-p) scale as a pure function of (user, item, salt).
+
+    Because the mask depends only on edge identity, the SAME mask can be
+    evaluated in any edge ordering — forward and transpose layouts agree
+    without any permutation gathers (which cost ~7 ms per 600k elements on
+    v5e; this is pure aligned VPU work).  Murmur3-style finalizer; keep is
+    a traced f32 so one compiled kernel serves train (keep<1) and eval
+    (keep=1 -> scale exactly 1).
+    """
+    h = (user_ids.astype(jnp.uint32) * _M1
+         ^ item_ids.astype(jnp.uint32) * _M2
+         ^ salt.astype(jnp.uint32))
+    h = h ^ (h >> 16)
+    h = h * _F1
+    h = h ^ (h >> 15)
+    h = h * _F2
+    h = h ^ (h >> 16)
+    u = h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return jnp.where(u < keep, 1.0 / keep, 0.0).astype(jnp.float32)
+
+
+class TiledSpMM:
+    """One propagation direction, split over source ranges when the source
+    table exceeds the VMEM budget.
+
+    ``__call__(x, salt, keep)`` computes ``A_drop @ x`` where A's weights
+    are scaled by the hash-dropout mask of (user, item, salt).
+    ``user_axis``: 'dst' if the destination axis of this direction is the
+    user axis (determines which endpoint feeds the user slot of the mask
+    hash, so that a direction and its transpose draw identical masks).
+    """
+
+    VMEM_X_BUDGET = 6 * 1024 * 1024  # pallas double-buffers the x input
+
+    def __init__(self, src, dst, w, n_src: int, n_dst: int, d: int,
+                 user_axis: str, interpret: bool = False):
+        self.n_src = int(n_src)
+        self.n_dst = int(n_dst)
+        self.user_axis = user_axis
+        self.interpret = interpret
+        bytes_per_split = self.VMEM_X_BUDGET
+        rows_per_split = max(SRC_BLOCK,
+                             (bytes_per_split // (d * 4))
+                             // SRC_BLOCK * SRC_BLOCK)
+        self.splits = []
+        src = np.asarray(src)
+        for off in range(0, max(int(n_src), 1), rows_per_split):
+            hi = min(off + rows_per_split, n_src)
+            sel = (src >= off) & (src < hi)
+            direction = PallasDirection(
+                src[sel] - off, np.asarray(dst)[sel],
+                np.asarray(w)[sel], hi - off, n_dst)
+            self.splits.append((off, hi - off, direction))
+
+    def _dir_weights(self, direction, salt, keep, off):
+        if self.user_axis == 'dst':
+            users, items = direction.dst_ids, direction.src_ids + off
+        else:
+            users, items = direction.src_ids + off, direction.dst_ids
+        scale = edge_dropout_scale(users, items, salt, keep)
+        return direction.w * scale.reshape(direction.w.shape)
+
+    def __call__(self, x, salt, keep):
+        out = None
+        for off, length, direction in self.splits:
+            xs = jax.lax.dynamic_slice_in_dim(x, off, length, axis=0) \
+                if len(self.splits) > 1 else x
+            w = self._dir_weights(direction, salt, keep, off)
+            part = direction(xs, w, interpret=self.interpret)
+            out = part if out is None else out + part
+        return out
+
+
+class PallasGraphOp:
+    """Drop-in propagation backend using the tiled one-hot SpMM kernel.
+
+    Same interface as ``spmm.BipartiteGraphOp``: ``weights(key, dropout)``
+    then ``to_user`` / ``to_item``.  Forward and backward of each direction
+    run the kernel on transpose layouts (both all-sorted), wired through
+    ``jax.custom_vjp``.  Tables must be padded to SRC_BLOCK multiples.
+    """
+
+    def __init__(self, edge_user, edge_item, edge_weight,
+                 n_users_t: int, n_items_t: int, d: int,
+                 interpret: bool = False):
+        assert n_users_t % SRC_BLOCK == 0 and n_items_t % SRC_BLOCK == 0, \
+            'tables must be padded to SRC_BLOCK for the pallas backend'
+        eu = np.asarray(edge_user)
+        ei = np.asarray(edge_item)
+        w = np.asarray(edge_weight)
+        self.l_i2u = TiledSpMM(ei, eu, w, n_items_t, n_users_t, d,
+                               user_axis='dst', interpret=interpret)
+        self.l_u2i = TiledSpMM(eu, ei, w, n_users_t, n_items_t, d,
+                               user_axis='src', interpret=interpret)
+
+        def make_fn(fwd_layout, bwd_layout):
+            @jax.custom_vjp
+            def f(x, salt, keep):
+                return fwd_layout(x, salt, keep)
+
+            def fwd(x, salt, keep):
+                return f(x, salt, keep), (salt, keep)
+
+            def bwd(res, g):
+                salt, keep = res
+                return (bwd_layout(g, salt, keep), None, None)
+
+            f.defvjp(fwd, bwd)
+            return f
+
+        self._to_user = make_fn(self.l_i2u, self.l_u2i)
+        self._to_item = make_fn(self.l_u2i, self.l_i2u)
+
+    def weights(self, mask_key=None, dropout: float = 0.0):
+        """Returns ((salt, keep) for i->u, (salt, keep) for u->i)."""
+        if dropout <= 0.0 or mask_key is None:
+            zero = jnp.uint32(0)
+            one = jnp.float32(1.0)
+            return (zero, one), (zero, one)
+        salts = jax.random.bits(mask_key, (2,), jnp.uint32)
+        keep = jnp.float32(1.0 - dropout)
+        return (salts[0], keep), (salts[1], keep)
+
+    def to_user(self, item_emb, w_pair):
+        salt, keep = w_pair
+        return self._to_user(item_emb, salt, keep)
+
+    def to_item(self, user_emb, w_pair):
+        salt, keep = w_pair
+        return self._to_item(user_emb, salt, keep)

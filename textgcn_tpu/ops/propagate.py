@@ -87,20 +87,29 @@ def propagate(user_emb, item_emb, edge_user, edge_item, w_u2i, w_i2u,
     return acc_u * inv, acc_i * inv
 
 
-def representation(params, graph_arrays, n_layers: int, *, single: bool,
+def representation(params, graph_op, n_layers: int, *, single: bool,
                    dropout: float = 0.0, dropout_key=None):
     """Full model representation: propagate embedding tables over the graph.
 
     ``params``: dict with ``user_emb`` (n_users, d), ``item_emb``
-    (n_items, d).  ``graph_arrays``: dict with ``edge_user``, ``edge_item``,
-    ``edge_weight`` device arrays.  With ``dropout > 0`` and a key, applies
-    edge dropout (training mode, reference ``base_model.py:99``).
+    (n_items, d).  ``graph_op``: a ``spmm.BipartiteGraphOp``.  With
+    ``dropout > 0`` and a key, applies edge dropout (training mode,
+    reference ``base_model.py:99``).  Layer combination as in
+    ``propagate``.
     """
-    ew = graph_arrays['edge_weight']
-    if dropout > 0.0 and dropout_key is not None:
-        w_u2i, w_i2u = dropout_edge_weights(dropout_key, ew, dropout)
-    else:
-        w_u2i = w_i2u = ew
-    return propagate(params['user_emb'], params['item_emb'],
-                     graph_arrays['edge_user'], graph_arrays['edge_item'],
-                     w_u2i, w_i2u, n_layers, single=single)
+    key = dropout_key if dropout > 0.0 else None
+    w_to_user, w_to_item = graph_op.weights(key, dropout)
+    u, i = params['user_emb'], params['item_emb']
+    if single:
+        for _ in range(n_layers):
+            u, i = (graph_op.to_user(i, w_to_user),
+                    graph_op.to_item(u, w_to_item))
+        return u, i
+    acc_u, acc_i = u, i
+    for _ in range(n_layers):
+        u, i = (graph_op.to_user(i, w_to_user),
+                graph_op.to_item(u, w_to_item))
+        acc_u = acc_u + u
+        acc_i = acc_i + i
+    inv = 1.0 / (n_layers + 1)
+    return acc_u * inv, acc_i * inv

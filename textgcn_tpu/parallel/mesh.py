@@ -1,0 +1,134 @@
+"""Device mesh + sharding conventions.
+
+Net-new layer with no reference counterpart (the reference is single-device,
+``parser.py:172-174``; SURVEY.md §2.3).  The framework uses a 2D
+``(data, model)`` mesh:
+
+* ``data`` — data parallelism: training batches and eval user batches are
+  sharded on their batch dimension; gradient reduction happens via XLA
+  collectives inserted by GSPMD.
+* ``model`` — model parallelism: embedding tables are row-sharded, the
+  graph edge list is sharded for partial segment-sums, and the item catalog
+  is sharded for batchwise scoring / distributed top-k.
+
+Design follows the "pick a mesh, annotate shardings, let XLA insert the
+collectives" recipe: everything stays a single global-view jitted program;
+placement is expressed by committing arrays with ``NamedSharding`` and XLA
+chooses the all-gather/psum/all-to-all schedule over ICI.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def _auto_shape(n: int) -> tuple[int, int]:
+    """Split n devices into (data, model): model gets the largest
+    power-of-two divisor <= sqrt(n); data gets the rest."""
+    best = 1
+    for m in range(1, int(math.isqrt(n)) + 1):
+        if n % m == 0:
+            best = m
+    return (n // best, best)
+
+
+def get_devices(min_count: int = 1):
+    """Devices for mesh construction; falls back to the (virtual) CPU
+    platform when the default platform has too few chips."""
+    devs = jax.devices()
+    if len(devs) >= min_count:
+        return devs
+    try:
+        cpu = jax.devices('cpu')
+        if len(cpu) >= min_count:
+            return cpu
+    except RuntimeError:
+        pass
+    return devs
+
+
+def make_mesh(shape: tuple[int, int] | None = None,
+              devices=None) -> Mesh:
+    """Build the (data, model) mesh.  ``shape=(0,0)`` or None = auto."""
+    if shape is not None and shape != (0, 0):
+        n = shape[0] * shape[1]
+        devices = devices if devices is not None else get_devices(n)
+        assert len(devices) >= n, \
+            f'need {n} devices for mesh {shape}, have {len(devices)}'
+        arr = np.array(devices[:n]).reshape(shape)
+    else:
+        devices = devices if devices is not None else jax.devices()
+        arr = np.array(devices).reshape(_auto_shape(len(devices)))
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# --- canonical shardings ----------------------------------------------------
+
+def param_shardings(mesh: Mesh, params):
+    """Embedding tables row-sharded over `model`; everything else
+    (LTR tower etc.) replicated."""
+    table = NamedSharding(mesh, P(MODEL_AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    def pick(path, _):
+        name = path[0].key if path else ''
+        return table if name in ('user_emb', 'item_emb') else repl
+
+    return jax.tree_util.tree_map_with_path(pick, params)
+
+
+def graph_shardings(mesh: Mesh, graph_arrays):
+    """Edge arrays sharded over the full mesh (edge-partitioned SpMM)."""
+    edge = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+    return {k: edge for k in graph_arrays}
+
+
+def batch_sharding(mesh: Mesh):
+    """Per-epoch batch arrays: (n_batches, batch, ...) — batch dim over
+    `data`."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_model(mesh: Mesh, model):
+    """Commit a model's device arrays to the mesh in-place.
+
+    Graph edges get edge-partitioned (zero-weight-padded to the mesh
+    size); the padded-positive matrices are replicated.  The mesh path
+    currently runs the XLA segment-sum propagation backend (a pallas_call
+    is opaque to GSPMD; per-shard pallas via shard_map is future work), so
+    a pallas-backed model is rebuilt on the XLA op here.
+    """
+    from ..ops.spmm import BipartiteGraphOp
+
+    eu, ei, w = model._edges
+    model.backend = 'xla'
+    model.graph_op = BipartiteGraphOp(
+        eu, ei, w, model.n_users_t, model.n_items_t,
+        pad_multiple=mesh.size)
+    edge_sh = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+    model.graph_op.put({k: edge_sh for k in model.graph_op.arrays})
+    repl = replicated(mesh)
+    model.pos_padded = jax.device_put(model.pos_padded, repl)
+    model.pos_degree = jax.device_put(model.pos_degree, repl)
+    for name in ('items_as_desc', 'items_as_avg_reviews',
+                 'users_as_avg_reviews', 'users_as_avg_desc',
+                 'popularity_users', 'popularity_items'):
+        if hasattr(model, name):
+            setattr(model, name,
+                    jax.device_put(getattr(model, name), repl))
+    return model
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.device_put(params, param_shardings(mesh, params))

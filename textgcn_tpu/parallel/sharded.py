@@ -1,0 +1,125 @@
+"""Multi-chip training/eval steps over a (data, model) mesh.
+
+The global-view program is identical to the single-chip path (same model
+``loss``, same optimizer); parallelism comes from input placement:
+
+* embedding tables row-sharded over ``model`` (mesh.py:param_shardings),
+* edge arrays sharded over the whole mesh -> each device computes a partial
+  segment-sum of its edge shard and XLA inserts the psum (the SpMM halo
+  exchange of SURVEY.md §2.3),
+* batches sharded over ``data`` -> gradient all-reduce inserted by GSPMD.
+
+``make_sharded_train_step`` jits the step with explicit in/out shardings so
+the compiled executable is a true SPMD program; ``sharded_topk`` does
+catalog-sharded scoring with per-shard top-k + cross-shard merge via
+``shard_map`` (the reference's single-device ``torch.topk`` has no
+equivalent, reference ``base_model.py:261``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.retrieval import mask_train_items
+from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, param_shardings, \
+    replicated
+
+
+def make_sharded_train_step(mesh, model, optimizer):
+    """One optimizer step, jitted over the mesh.
+
+    Signature: ``step(params, opt_state, batch, key) ->
+    (params, opt_state, loss)``.  Params/opt-state shardings are inferred
+    from the committed inputs (see ``mesh.shard_params``); batch leaves are
+    constrained onto `data` on their leading dim inside the step.
+    """
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(params, opt_state, batch, key):
+        batch = tuple(
+            jax.lax.with_sharding_constraint(b, batch_sh) for b in batch)
+        (loss, aux), grads = jax.value_and_grad(
+            model.loss, has_aux=True)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_sharded_epoch_fn(mesh, model, optimizer, batch_size: int,
+                          n_batches: int):
+    """Whole-epoch jitted scan, mesh-sharded: the multi-chip analogue of
+    Trainer._make_epoch_fn.  Batch arrays are constrained over `data`."""
+    b_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    def epoch(params, opt_state, key):
+        k_sample, k_drop = jax.random.split(key)
+        batches = model.sample_batches(k_sample, batch_size)
+        batches = tuple(
+            jax.lax.with_sharding_constraint(b, b_sh) for b in batches)
+        drop_keys = jax.random.split(k_drop, n_batches)
+
+        def step(carry, xs):
+            params, opt_state = carry
+            *batch, dk = xs
+            (loss, aux), grads = jax.value_and_grad(
+                model.loss, has_aux=True)(params, tuple(batch), dk)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (*batches, drop_keys))
+        return params, opt_state, losses.sum()
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int):
+    """Catalog-sharded scoring + distributed top-k.
+
+    Items are sharded over `model`; each shard computes its local
+    (B, n_items/shards) scores + local top-k with **global** item ids, then
+    shards all-gather their k-candidates and merge.  ICI traffic is
+    O(B * k * n_shards) instead of O(B * n_items).
+    """
+    n_items = items_emb.shape[0]
+
+    def local(users_emb, items_shard, pos_padded):
+        shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        shard_size = items_shard.shape[0]
+        offset = shard_idx * shard_size
+        scores = jnp.dot(users_emb, items_shard.T,
+                         preferred_element_type=jnp.float32)
+        # mask train items that fall in this shard: translate global pos
+        # ids into local coords, clamp others to the padding column
+        local_pos = pos_padded - offset
+        local_pos = jnp.where(
+            (local_pos >= 0) & (local_pos < shard_size), local_pos,
+            shard_size)
+        scores = mask_train_items(scores, local_pos, shard_size)
+        vals, idx = jax.lax.top_k(scores, min(k, shard_size))
+        idx = idx + offset
+        # gather candidates from all shards and merge
+        all_vals = jax.lax.all_gather(vals, MODEL_AXIS)   # (S, B, k)
+        all_idx = jax.lax.all_gather(idx, MODEL_AXIS)
+        s, b, kk = all_vals.shape
+        flat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, s * kk)
+        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, s * kk)
+        top_v, pos = jax.lax.top_k(flat_v, k)
+        return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return fn(users_emb, items_emb, batch_pos_padded)
