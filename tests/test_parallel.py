@@ -1,0 +1,144 @@
+"""Mesh layer: sharded training step + distributed top-k equivalence.
+
+SURVEY.md §4 distributed strategy: fake an 8-device mesh on CPU
+(conftest sets xla_force_host_platform_device_count=8) and assert
+sharded-vs-single-device numerical equivalence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from textgcn_tpu.config import Config
+from textgcn_tpu.data.core import load_interactions
+from textgcn_tpu.models.lightgcn import LightGCN
+from textgcn_tpu.parallel.mesh import make_mesh, shard_model, shard_params
+from textgcn_tpu.parallel.sharded import (make_sharded_train_step,
+                                          sharded_topk)
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    return make_mesh((4, 2))
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {'data': 4, 'model': 2}
+    assert mesh.size == 8
+
+
+def test_sharded_topk_matches_local(mesh, rng):
+    b, n_items, d, k = 8, 512, 16, 5
+    users_emb = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    items_emb = jnp.asarray(rng.randn(n_items, d).astype(np.float32))
+    pos = np.full((b, 3), n_items, dtype=np.int32)
+    pos[0, :2] = [3, 100]
+    pos[5, :1] = [499]
+    pos_j = jnp.asarray(pos)
+
+    from textgcn_tpu.ops.retrieval import score_and_topk
+    want_v, want_i = score_and_topk(users_emb, items_emb, pos_j, k=k,
+                                    n_items=n_items)
+    got_v, got_i = sharded_topk(mesh, users_emb, items_emb, pos_j, k)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def _build(dummy_dir, mesh=None):
+    cfg = Config(model='lgcn', data=str(dummy_dir), epochs=1,
+                 batch_size=16, emb_size=16, n_layers=2, dropout=0.0,
+                 k=(3,), save=False, save_path='/tmp/par_run').finalize()
+    data = load_interactions(cfg.data)
+    if mesh is not None:
+        data = data.padded_to(mesh.size)
+    model = LightGCN(cfg, data)
+    return cfg, data, model
+
+
+def test_sharded_step_matches_single(dummy_dir, mesh):
+    """One Adam step on the mesh == the same step on one device (dropout
+    off so the computation is deterministic)."""
+    cfg_s, data_s, model_s = _build(dummy_dir)
+    cfg_m, data_m, model_m = _build(dummy_dir, mesh)
+    model_m = shard_model(mesh, model_m)
+
+    params_s = model_s.init_params(jax.random.key(0))
+    params_m = shard_params(mesh, model_m.init_params(jax.random.key(0)))
+    # same init values (padding rows extra in mesh case)
+    nu, ni = data_s.n_users, data_s.n_items
+
+    optimizer = optax.adam(cfg_s.lr)
+    opt_s = optimizer.init(params_s)
+    opt_m = optimizer.init(params_m)
+
+    batch = jax.tree.map(lambda x: x[0],
+                         model_s.sample_batches(jax.random.key(1), 16))
+
+    def single_step(params, opt_state, batch, key):
+        (loss, _), grads = jax.value_and_grad(
+            model_s.loss, has_aux=True)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step_m = make_sharded_train_step(mesh, model_m, optimizer)
+
+    key = jax.random.key(2)
+    p_s, _, loss_s = jax.jit(single_step)(params_s, opt_s, batch, key)
+    p_m, _, loss_m = step_m(params_m, opt_m, tuple(batch), key)
+
+    assert float(loss_s) == pytest.approx(float(loss_m), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(p_m['user_emb'])[:nu],
+                               np.asarray(p_s['user_emb'])[:nu], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_m['item_emb'])[:ni],
+                               np.asarray(p_s['item_emb'])[:ni], atol=1e-5)
+
+
+def test_mesh_trainer_end_to_end(dummy_dir, mesh, tmp_path):
+    """Full fit + evaluate on the mesh == single device within tolerance
+    (sampling/dropout are seeded identically; dropout off here)."""
+    from textgcn_tpu.train.trainer import Trainer
+
+    def run(use_mesh):
+        cfg = Config(model='lgcn', data=str(dummy_dir), epochs=8,
+                     evaluate_every=4, batch_size=16, emb_size=16,
+                     n_layers=2, dropout=0.0, k=(3, 5), save=False,
+                     save_path=str(tmp_path / f'm{use_mesh}')).finalize()
+        data = load_interactions(cfg.data)
+        m = None
+        if use_mesh:
+            m = mesh
+            data = data.padded_to(m.size)
+        model = LightGCN(cfg, data)
+        if use_mesh:
+            shard_model(m, model)
+        tr = Trainer(cfg, model, data, mesh=m)
+        tr.fit()
+        return tr.metrics_logger
+
+    single = run(False)
+    meshed = run(True)
+    for metric in single:
+        np.testing.assert_allclose(meshed[metric], single[metric],
+                                   atol=1e-4)
+
+
+def test_sharded_representation_matches_single(dummy_dir, mesh, rng):
+    cfg_s, data_s, model_s = _build(dummy_dir)
+    cfg_m, data_m, model_m = _build(dummy_dir, mesh)
+    model_m = shard_model(mesh, model_m)
+
+    params = model_s.init_params(jax.random.key(0))
+    params_m = shard_params(mesh, model_m.init_params(jax.random.key(0)))
+
+    u_s, i_s = jax.jit(
+        lambda p: model_s.representation(p, training=False))(params)
+    u_m, i_m = jax.jit(
+        lambda p: model_m.representation(p, training=False))(params_m)
+    nu, ni = data_s.n_users, data_s.n_items
+    np.testing.assert_allclose(np.asarray(u_m)[:nu], np.asarray(u_s)[:nu],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i_m)[:ni], np.asarray(i_s)[:ni],
+                               atol=1e-5)

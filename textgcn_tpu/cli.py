@@ -27,9 +27,34 @@ def main(argv: list[str] | None = None):
     logger.info('Class: %s', model_cls.__name__)
     logger.info('%s', cfg)
 
+    mesh = None
+    if cfg.mesh:
+        from .parallel.mesh import make_mesh, shard_model
+        mesh = make_mesh(cfg.mesh_shape)
+        logger.info('Mesh: %s', dict(mesh.shape))
+
     data = loader(cfg)
+    if mesh is not None:
+        data = data.padded_to(mesh.size)
     model = model_cls(cfg, data)
-    trainer = Trainer(cfg, model, data)
+    if mesh is not None:
+        model = shard_model(mesh, model)
+
+    from .registry import BOOSTED_MODELS
+    if cfg.model in BOOSTED_MODELS:
+        from .models.ltr_boosted import BoostedTrainer
+        trainer = BoostedTrainer(cfg, model, data, mesh=mesh)
+    else:
+        trainer = Trainer(cfg, model, data, mesh=mesh)
+
+    if cfg.model == 'text_probe':
+        # zero-training probe of the 4 text representation combos
+        # (reference TestModel, text_joint_model.py:13-29)
+        from .models.text_loss import probe_text_representations
+        results = probe_text_representations(cfg, data, trainer)
+        for combo, res in results.items():
+            logger.info('probe %s: %s', combo, res)
+        return trainer
     logger.info('Created model %s (%d users x %d items, %d edges)',
                 cfg.uid, data.n_users, data.n_items, data.graph.n_edges)
 

@@ -30,6 +30,15 @@ MODEL_CHOICES = (
     'adv_sampling',  # dynamic negative sampling
     'ltr_linear',    # LTR linear head over GCN + text features
     'ltr_pop',       # LTR linear head + popularity features
+    # text-loss family (bit-rotted in the reference — SURVEY.md Q3 —
+    # implemented working here)
+    'text',          # joint reviews+KG semantic-loss model
+    'kg',            # semantic loss w/ description reprs
+    'reviews',       # semantic loss w/ mean-review reprs
+    'text_probe',    # zero-training eval of the 4 text repr combos
+    # gradient-boosted heads (unreachable in the reference main.py;
+    # runnable here, xgboost degrades to sklearn GBRT when absent)
+    'xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop',
 )
 
 

@@ -1,0 +1,242 @@
+"""Gradient-boosted LTR heads (host-side trees over TPU-computed features).
+
+Capability match for reference ``ltr_gradient_boosted.py:11-154``: fit a
+tree ensemble on the (5 or 7)-feature cross matrix, using every unobserved
+item as a negative (per-user multi-hot labels over the full catalog), then
+score batchwise through the trees.
+
+Design split: feature computation (GCN propagation + text dot-products)
+runs on the TPU via the same fused paths as ``LTRLinear``; the tree fit
+and predict are host-side sklearn.  ``xgboost`` is not in this image, so
+the XGBRanker variants degrade to the sklearn ``GradientBoostingRegressor``
+with a logged warning (the reference's xgboost path is itself unreachable
+from its ``main.py`` — SURVEY.md Q3/Q5).
+
+Unlike the reference (which leaves these classes out of the registry),
+``boosted_*`` names are wired into this framework's registry and runnable.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ltr import LTRLinear, LTRLinearWPop
+
+log = logging.getLogger('textgcn_tpu')
+
+
+class LTRGradientBoosted(LTRLinear):
+    """Tree head over the LTR feature crosses.
+
+    ``fit`` is one pass over user batches: for each batch, features for
+    (batch x all items) are computed on-device, labels are the multi-hot
+    train interactions (reference ``OneBatchDataset``,
+    ``ltr_gradient_boosted.py:11-20``), and trees are (warm-start) fit
+    host-side.
+    """
+
+    tree_params = dict(n_estimators=10, max_depth=3)
+
+    def __init__(self, cfg, data):
+        super().__init__(cfg, data)
+        self.tree = self._make_tree(cfg)
+        self._tree_fitted = False
+
+    def _make_tree(self, cfg):
+        if 'xgboost' in cfg.model:
+            try:
+                from xgboost import XGBRanker
+                return XGBRanker(objective='rank:ndcg', n_estimators=75,
+                                 min_child_weight=15, eta=0.6)
+            except ImportError:
+                log.warning('xgboost not available; using sklearn '
+                            'GradientBoostingRegressor instead')
+        from sklearn.ensemble import GradientBoostingRegressor
+        return GradientBoostingRegressor(warm_start=True,
+                                         **self.tree_params)
+
+    # --- feature extraction (device side) ----------------------------------
+
+    def batch_features(self, params, reprs, batch_users):
+        """(B, n_items_real, F) feature tensor for a user batch."""
+        users_repr, items_repr = reprs
+        all_items = jnp.arange(self.n_items, dtype=jnp.int32)
+        u_vecs = self._user_vecs(users_repr, batch_users)
+        i_vecs = self._item_vecs(items_repr, all_items)
+        u_emb, u_rev, u_desc = u_vecs
+        i_emb, i_rev, i_desc = i_vecs
+        feats = [
+            u_emb @ i_emb.T,
+            u_rev @ i_rev.T,
+            u_desc @ i_desc.T,
+            u_rev @ i_desc.T,
+            u_desc @ i_rev.T,
+        ]
+        out = jnp.stack(feats, axis=-1)
+        return self._append_popularity(out, batch_users)
+
+    def _append_popularity(self, feats, batch_users):
+        return feats
+
+    # --- training (host-side trees) ----------------------------------------
+
+    def fit_trees(self, params, pos_padded, pos_degree, batch_size=256):
+        """One pass over all users; returns feature importances."""
+        reprs = jax.jit(
+            lambda p: self.representation(p, training=False))(params)
+        feat_fn = jax.jit(
+            lambda p, bu: self.batch_features(p, reprs, bu))
+        n_items = self.n_items
+        warm = False
+        for start in range(0, self.n_users, batch_size):
+            users = np.arange(start, min(start + batch_size, self.n_users),
+                              dtype=np.int32)
+            feats = np.asarray(feat_fn(params, jnp.asarray(users)))
+            y = np.zeros((len(users), n_items), np.float32)
+            for r, u in enumerate(users):
+                deg = int(pos_degree[u])
+                y[r, np.asarray(pos_padded[u][:deg])] = 1.0
+            x = feats.reshape(-1, feats.shape[-1])
+            y = y.reshape(-1)
+            if hasattr(self.tree, 'set_params') and warm and \
+                    'warm_start' in self.tree.get_params():
+                self.tree.set_params(
+                    n_estimators=self.tree.get_params()['n_estimators']
+                    + self.tree_params['n_estimators'])
+            try:
+                self.tree.fit(x, y, group=[n_items] * len(users))
+            except TypeError:
+                self.tree.fit(x, y)
+            warm = True
+        self._tree_fitted = True
+        return list(zip(self.feature_names,
+                        getattr(self.tree, 'feature_importances_', [])))
+
+    # --- scoring through the trees ------------------------------------------
+
+    def tree_scores(self, params, reprs, batch_users):
+        feats = np.asarray(jax.jit(
+            lambda p, bu: self.batch_features(p, reprs, bu))(
+            params, batch_users))
+        flat = feats.reshape(-1, feats.shape[-1])
+        scores = self.tree.predict(flat).reshape(feats.shape[:2])
+        # re-pad to the table width so retrieval masks line up
+        out = np.full((feats.shape[0], self.n_items_t), -np.inf,
+                      np.float32)
+        out[:, :self.n_items] = scores
+        return jnp.asarray(out)
+
+
+class BoostedTrainer:
+    """Training/eval driver for the tree heads (reference
+    ``LTRGradientBoosted.fit``, ``ltr_gradient_boosted.py:69-96``):
+    one tree-fitting pass instead of SGD epochs, then full-catalog eval
+    through the trees.  Wraps a standard Trainer for data/metrics/
+    checkpoint plumbing."""
+
+    def __init__(self, cfg, model, data, mesh=None):
+        from ..train.trainer import Trainer
+        self.inner = Trainer(cfg, model, data, mesh=mesh)
+        self.cfg, self.model, self.data = cfg, model, data
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def load(self, path):
+        self.inner.load(path)
+
+    def fit(self):
+        importances = self.model.fit_trees(
+            self.inner.params, self.data.pos_padded, self.data.pos_degree)
+        log.info('feature importances: %s', importances)
+        self.evaluate()
+
+    def predict(self, users, save: bool = False, with_scores: bool = False):
+        """Ranked items through the tree scorer (the inner Trainer's
+        predict would use the untrained linear tower)."""
+        from ..ops.retrieval import topk_from_scores
+
+        model = self.model
+        params = self.inner.params
+        reprs = jax.jit(
+            lambda p: model.representation(p, training=False))(params)
+        users = np.asarray(list(users), dtype=np.int32)
+        max_k = max(self.inner.k)
+        preds, scores = [], []
+        bs = self.cfg.batch_size
+        for start in range(0, len(users), bs):
+            bu = jnp.asarray(users[start:start + bs])
+            s = model.tree_scores(params, reprs, bu)
+            vals, idx = topk_from_scores(s, model.pos_padded[bu],
+                                         k=max_k, n_items=model.n_items)
+            preds.append(np.asarray(idx))
+            scores.append(np.round(np.asarray(vals), 4))
+        preds = np.concatenate(preds).tolist()
+        scores = np.concatenate(scores).tolist()
+        if save:
+            import os
+            import pandas as pd
+            out = os.path.join(self.cfg.save_path, 'predictions.tsv')
+            pd.DataFrame({
+                'user_id': [self.data.user_id_map[u] for u in
+                            users.tolist()],
+                'y_pred': [[self.data.item_id_map[i] for i in row]
+                           for row in preds],
+                'scores': scores,
+            }).to_csv(out, sep='\t', index=False)
+            log.info('Predictions are saved in `%s`', out)
+        if with_scores:
+            return preds, scores
+        return preds
+
+    def evaluate(self, epoch: int | None = None):
+        from ..ops import metrics as metrics_mod
+        from ..ops.retrieval import topk_from_scores
+
+        model = self.model
+        params = self.inner.params
+        reprs = jax.jit(
+            lambda p: model.representation(p, training=False))(params)
+        max_k = max(self.inner.k)
+        preds = []
+        bs = self.cfg.batch_size
+        tu = self.data.test_users
+        for start in range(0, len(tu), bs):
+            bu = jnp.asarray(tu[start:start + bs])
+            scores = model.tree_scores(params, reprs, bu)
+            _, idx = topk_from_scores(scores, model.pos_padded[bu],
+                                      k=max_k, n_items=model.n_items)
+            preds.append(np.asarray(idx))
+        results = metrics_mod.calculate_metrics(
+            np.concatenate(preds), self.data.true_test, self.inner.k)
+        for m in self.inner.metrics_names:
+            self.inner.metrics_logger[m] = np.append(
+                self.inner.metrics_logger[m], [results[m]], axis=0)
+            log.info('%-11s' % m + ' '.join(f'{v:.4f}'
+                                            for v in results[m]))
+        return results
+
+
+class LTRGradientBoostedWPop(LTRGradientBoosted):
+    """+ popularity features (reference ``ltr_gradient_boosted.py:99-154``)."""
+
+    n_extra_features = 2
+
+    def __init__(self, cfg, data):
+        super().__init__(cfg, data)
+        self.popularity_users = jnp.asarray(data.popularity_users)
+        self.popularity_items = jnp.asarray(data.popularity_items)
+
+    def _append_popularity(self, feats, batch_users):
+        b = feats.shape[0]
+        pop_u = jnp.broadcast_to(
+            self.popularity_users[batch_users][:, :, None],
+            (b, self.n_items, 1))
+        pop_i = jnp.broadcast_to(
+            self.popularity_items[: self.n_items][None, :, :],
+            (b, self.n_items, 1))
+        return jnp.concatenate([feats, pop_u, pop_i], axis=-1)

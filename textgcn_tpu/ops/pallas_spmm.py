@@ -153,6 +153,31 @@ class PallasDirection:
         self.n_dst_blocks = max(1, -(-int(n_dst) // DST_BLOCK))
         n_src_blocks = self.n_src_padded // SRC_BLOCK
 
+        # native C++ layout builder when available (textgcn_tpu/native.py;
+        # same output as the numpy construction below, much faster on
+        # multi-million-edge graphs)
+        from .. import native
+        if native.available():
+            (packed, w_arr, sb, gptr, max_groups, dst_ids,
+             src_ids) = native.tile_layout(
+                src, dst, w, self.n_src_padded, self.n_dst,
+                DST_BLOCK, SRC_BLOCK, CHUNK, GROUP)
+            n_chunks = len(sb)
+            self.n_chunks = n_chunks
+            self.n_groups = max(n_chunks // GROUP, 1)
+            self.packed = jnp.asarray(
+                packed.reshape(self.n_groups, GROUP, CHUNK))
+            self.w = jnp.asarray(
+                w_arr.reshape(self.n_groups, GROUP, CHUNK))
+            self.chunk_sb = jnp.asarray(sb)
+            self.group_ptr = jnp.asarray(gptr)
+            self.max_groups = max_groups
+            self.dst_ids = jnp.asarray(
+                dst_ids.reshape(self.n_groups, GROUP, CHUNK))
+            self.src_ids = jnp.asarray(
+                src_ids.reshape(self.n_groups, GROUP, CHUNK))
+            return
+
         tile = (dst // DST_BLOCK) * n_src_blocks + (src // SRC_BLOCK)
         order = np.argsort(tile, kind='stable')
         src, dst, w, tile = src[order], dst[order], w[order], tile[order]

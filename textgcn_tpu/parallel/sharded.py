@@ -82,15 +82,20 @@ def make_sharded_epoch_fn(mesh, model, optimizer, batch_size: int,
     return jax.jit(epoch, donate_argnums=(0, 1))
 
 
-def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int):
+def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
+                 n_valid: int | None = None):
     """Catalog-sharded scoring + distributed top-k.
 
     Items are sharded over `model`; each shard computes its local
     (B, n_items/shards) scores + local top-k with **global** item ids, then
     shards all-gather their k-candidates and merge.  ICI traffic is
     O(B * k * n_shards) instead of O(B * n_items).
+
+    ``n_valid``: number of real items — global columns >= n_valid (the
+    phantom rows added by table padding) are masked to -inf.
     """
     n_items = items_emb.shape[0]
+    n_valid = n_items if n_valid is None else n_valid
 
     def local(users_emb, items_shard, pos_padded):
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
@@ -98,6 +103,10 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int):
         offset = shard_idx * shard_size
         scores = jnp.dot(users_emb, items_shard.T,
                          preferred_element_type=jnp.float32)
+        # mask phantom (padding) catalog columns
+        global_col = offset + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        scores = jnp.where(global_col < n_valid, scores, -jnp.inf)
         # mask train items that fall in this shard: translate global pos
         # ids into local coords, clamp others to the padding column
         local_pos = pos_padded - offset
@@ -116,10 +125,9 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int):
         top_v, pos = jax.lax.top_k(flat_v, k)
         return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
 
-    from jax.experimental.shard_map import shard_map
-    fn = shard_map(
+    fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(MODEL_AXIS, None), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return fn(users_emb, items_emb, batch_pos_padded)

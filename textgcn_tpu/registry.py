@@ -17,6 +17,10 @@ def get_class(name: str):
     from .models.adv_sampling import AdvSamplModel
     from .models.lightgcn import LightGCN
     from .models.ltr import LTRLinear, LTRLinearWPop
+    from .models.ltr_boosted import (LTRGradientBoosted,
+                                     LTRGradientBoostedWPop)
+    from .models.text_loss import (TextModel, TextModelKG,
+                                   TextModelReviews)
 
     def base_loader(cfg: Config):
         return load_interactions(cfg.data, reshuffle=cfg.reshuffle,
@@ -27,5 +31,16 @@ def get_class(name: str):
         'adv_sampling': (base_loader, AdvSamplModel),
         'ltr_linear': (load_ltr_data, LTRLinear),
         'ltr_pop': (load_ltr_data, LTRLinearWPop),
+        'text': (load_ltr_data, TextModel),
+        'kg': (load_ltr_data, TextModelKG),
+        'reviews': (load_ltr_data, TextModelReviews),
+        'text_probe': (load_ltr_data, LightGCN),  # probe runs in cli
+        'xgboost': (load_ltr_data, LTRGradientBoosted),
+        'gbdt': (load_ltr_data, LTRGradientBoosted),
+        'xgboost_pop': (load_ltr_data, LTRGradientBoostedWPop),
+        'gbdt_pop': (load_ltr_data, LTRGradientBoostedWPop),
     }
     return registry[name]
+
+
+BOOSTED_MODELS = ('xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop')

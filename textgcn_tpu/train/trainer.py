@@ -50,10 +50,14 @@ log = logging.getLogger('textgcn_tpu')
 class Trainer:
 
     def __init__(self, cfg: Config, model, data: InteractionData,
-                 params=None, seed_key=None):
+                 params=None, seed_key=None, mesh=None):
+        """``mesh``: optional jax Mesh — shards params/opt-state (tables
+        row-sharded over `model`), constrains batches over `data`, and
+        switches eval to catalog-sharded distributed top-k."""
         self.cfg = cfg
         self.model = model
         self.data = data
+        self.mesh = mesh
         self.k = tuple(sorted(cfg.k))
         self.metrics_names = list(metrics_mod.METRICS)
         self.metrics_logger = {m: np.zeros((0, len(self.k)))
@@ -63,8 +67,12 @@ class Trainer:
         self.key, init_key = jax.random.split(key)
         self.params = params if params is not None \
             else model.init_params(init_key)
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+            self.params = shard_params(mesh, self.params)
 
         self.optimizer = self._build_optimizer()
+        # optax state is zeros_like(params): inherits table shardings
         self.opt_state = self.optimizer.init(self.params)
 
         self._epoch_fn = None
@@ -99,9 +107,20 @@ class Trainer:
     def _make_epoch_fn(self, n_batches: int):
         model, cfg = self.model, self.cfg
 
+        batch_sh = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS
+            batch_sh = NamedSharding(self.mesh,
+                                     PartitionSpec(None, DATA_AXIS))
+
         def epoch(params, opt_state, key):
             k_sample, k_drop = jax.random.split(key)
             batches = model.sample_batches(k_sample, cfg.batch_size)
+            if batch_sh is not None:
+                batches = tuple(
+                    jax.lax.with_sharding_constraint(b, batch_sh)
+                    for b in batches)
             drop_keys = jax.random.split(k_drop, n_batches)
 
             def step(carry, xs):
@@ -123,14 +142,23 @@ class Trainer:
         return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _make_eval_fn(self):
-        model, bs = self.model, self.cfg.batch_size
+        model, mesh = self.model, self.mesh
         max_k = max(self.k)
 
         def eval_batches(params, users_matrix):
             reprs = model.representation(params, training=False)
 
             def one_batch(_, bu):
-                vals, idx = model.topk_for_users(params, reprs, bu, max_k)
+                if mesh is not None:
+                    from ..parallel.sharded import sharded_topk
+                    users_repr, items_repr = reprs
+                    vals, idx = sharded_topk(
+                        mesh, users_repr[bu], items_repr,
+                        model.pos_padded[bu], max_k,
+                        n_valid=model.n_items)
+                else:
+                    vals, idx = model.topk_for_users(params, reprs, bu,
+                                                     max_k)
                 return None, (vals, idx)
 
             _, (vals, idx) = jax.lax.scan(one_batch, None, users_matrix)
