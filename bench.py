@@ -177,6 +177,64 @@ def bench_torch(steps=8, warmup=2):
     return BATCH * steps / dt, dt / steps
 
 
+def bench_eval_jax(n_eval_users=8192):
+    """Full-catalog eval throughput: masked scoring + top-k, users/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from textgcn_tpu.ops.retrieval import score_and_topk
+
+    rng = np.random.RandomState(0)
+    users_emb = jnp.asarray(rng.randn(n_eval_users, EMB)
+                            .astype(np.float32))
+    items_emb = jnp.asarray(rng.randn(N_ITEMS, EMB).astype(np.float32))
+    max_deg = 32
+    pos = jnp.asarray(rng.randint(0, N_ITEMS,
+                                  (n_eval_users, max_deg)).astype(np.int32))
+
+    def run_n(n):
+        @jax.jit
+        def f(users_emb):
+            acc = jnp.float32(0)
+            for i in range(n):
+                u = users_emb.reshape(-1, BATCH, EMB)
+                def one(_, xs):
+                    bu, bp = xs
+                    vals, idx = score_and_topk(bu, items_emb, bp, k=40,
+                                               n_items=N_ITEMS)
+                    return None, vals.sum()
+                _, s = jax.lax.scan(
+                    one, None, (u, pos.reshape(-1, BATCH, max_deg)))
+                acc = acc + s.sum()
+                users_emb = users_emb + acc * 1e-20
+            return acc
+        return f
+
+    import time as _t
+    f1, f4 = run_n(1), run_n(5)
+    float(f1(users_emb)); float(f4(users_emb))
+    def t(f, reps=3):
+        t0 = _t.perf_counter()
+        for _ in range(reps):
+            float(f(users_emb))
+        return (_t.perf_counter() - t0) / reps
+    per_pass = (t(f4) - t(f1)) / 4
+    return n_eval_users / per_pass
+
+
+def bench_eval_torch(n_eval_users=2048):
+    import torch
+    rng = np.random.RandomState(0)
+    users_emb = torch.tensor(rng.randn(n_eval_users, EMB)
+                             .astype(np.float32))
+    items_emb = torch.tensor(rng.randn(N_ITEMS, EMB).astype(np.float32))
+    t0 = time.perf_counter()
+    for s in range(0, n_eval_users, BATCH):
+        scores = users_emb[s:s + BATCH] @ items_emb.T
+        torch.topk(scores, k=40)
+    return n_eval_users / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=30)
@@ -184,10 +242,12 @@ def main():
     args = ap.parse_args()
 
     jax_eps, jax_step = bench_jax(steps=args.steps)
+    eval_ups = bench_eval_jax()
     if args.skip_baseline:
-        torch_eps = None
+        torch_eps = eval_ups_t = None
     else:
         torch_eps, torch_step = bench_torch()
+        eval_ups_t = bench_eval_torch()
 
     import jax
     result = {
@@ -199,6 +259,9 @@ def main():
             'step_ms': round(jax_step * 1e3, 2),
             'baseline_examples_per_s': round(torch_eps, 1)
             if torch_eps else None,
+            'eval_users_per_s': round(eval_ups, 1),
+            'eval_users_per_s_baseline': round(eval_ups_t, 1)
+            if eval_ups_t else None,
             'device': str(jax.devices()[0]),
             'n_users': N_USERS, 'n_items': N_ITEMS,
             'batch': BATCH, 'emb': EMB, 'layers': LAYERS,

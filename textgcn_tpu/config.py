@@ -93,6 +93,8 @@ class Config:
     compute_dtype: str = 'float32'
     use_pallas: bool = True       # Pallas SpMM kernel on TPU; XLA segment-sum otherwise
     precompute_adjacency: bool = True
+    ckpt_backend: str = 'pickle'  # 'pickle' (reference .pkl contract) or
+                                  # 'orbax' (sharded arrays, mesh runs)
 
     # --- derived (filled by finalize()) -------------------------------------
     save_path: str = field(default='', compare=False)
@@ -172,6 +174,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--slurm', action='store_true')
     p.add_argument('--mesh', type=str, default=d.mesh)
     p.add_argument('--no_pallas', action='store_true')
+    p.add_argument('--ckpt_backend', default=d.ckpt_backend,
+                   choices=['pickle', 'orbax'])
     return p
 
 
@@ -189,7 +193,7 @@ def parse_args(argv: list[str] | None = None) -> Config:
         emb_batch_size=ns.emb_batch_size, bert_model=ns.bert_model,
         sep=ns.sep, seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
-        use_pallas=not ns.no_pallas,
+        use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,
     ).finalize()
     cfg.validate()
     return cfg

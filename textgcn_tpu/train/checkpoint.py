@@ -1,0 +1,92 @@
+"""Checkpoint backends: pickle (single-host) and Orbax (sharded).
+
+The latest/best contract mirrors the reference (``base_model.py:291-299``):
+``latest_checkpoint.pkl`` written at every eval epoch, copied to
+``best.pkl`` when recall@smallest-k reaches a new max.  The Orbax backend
+adds multi-host/sharded-array safety for mesh runs: each checkpoint is an
+Orbax step directory (``latest_checkpoint.orbax/``, ``best.orbax/``) whose
+arrays restore with their original shardings.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import shutil
+
+import jax
+import numpy as np
+
+log = logging.getLogger('textgcn_tpu')
+
+
+class PickleCheckpointer:
+    """Single-host backend; matches the reference's .pkl artifacts."""
+
+    latest_name = 'latest_checkpoint.pkl'
+    best_name = 'best.pkl'
+
+    def save_latest(self, save_path: str, state: dict):
+        os.makedirs(save_path, exist_ok=True)
+        state = dict(state,
+                     params=jax.tree.map(np.asarray, state['params']))
+        with open(os.path.join(save_path, self.latest_name), 'wb') as f:
+            pickle.dump(state, f)
+
+    def promote_best(self, save_path: str):
+        shutil.copyfile(os.path.join(save_path, self.latest_name),
+                        os.path.join(save_path, self.best_name))
+
+    def load(self, path: str) -> dict:
+        if os.path.isdir(path):
+            path = os.path.join(path, self.best_name)
+        with open(path, 'rb') as f:
+            return pickle.load(f)
+
+
+class OrbaxCheckpointer:
+    """Sharded backend for mesh runs (Orbax PyTreeCheckpointer)."""
+
+    latest_name = 'latest_checkpoint.orbax'
+    best_name = 'best.orbax'
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def save_latest(self, save_path: str, state: dict):
+        os.makedirs(save_path, exist_ok=True)
+        target = os.path.abspath(
+            os.path.join(save_path, self.latest_name))
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        meta = {k: v for k, v in state.items() if k != 'params'}
+        self._ckptr.save(target, {'params': state['params'],
+                                  'meta': meta})
+
+    def promote_best(self, save_path: str):
+        src = os.path.abspath(os.path.join(save_path, self.latest_name))
+        dst = os.path.abspath(os.path.join(save_path, self.best_name))
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
+    def load(self, path: str) -> dict:
+        if os.path.isdir(path) and not path.endswith('.orbax'):
+            best = os.path.join(path, self.best_name)
+            path = best if os.path.exists(best) else \
+                os.path.join(path, PickleCheckpointer.best_name)
+        if path.endswith('.pkl'):
+            return PickleCheckpointer().load(path)
+        restored = self._ckptr.restore(os.path.abspath(path))
+        out = dict(restored.get('meta', {}))
+        out['params'] = restored['params']
+        return out
+
+
+def make_checkpointer(backend: str = 'pickle'):
+    if backend == 'orbax':
+        return OrbaxCheckpointer()
+    return PickleCheckpointer()

@@ -252,30 +252,31 @@ class Trainer:
     # ------------------------------------------------------------------
     # checkpointing (latest/best contract, reference base_model.py:291-299)
 
+    @property
+    def _checkpointer(self):
+        from .checkpoint import make_checkpointer
+        if not hasattr(self, '_ckptr'):
+            self._ckptr = make_checkpointer(
+                getattr(self.cfg, 'ckpt_backend', 'pickle'))
+        return self._ckptr
+
     def checkpoint(self, epoch: int):
         if not self.cfg.save:
             return
-        os.makedirs(self.cfg.save_path, exist_ok=True)
-        latest = os.path.join(self.cfg.save_path, 'latest_checkpoint.pkl')
         state = {
-            'params': jax.tree.map(np.asarray, self.params),
+            'params': self.params,
             'epoch': epoch,
             'model': self.cfg.model,
         }
-        with open(latest, 'wb') as f:
-            pickle.dump(state, f)
+        self._checkpointer.save_latest(self.cfg.save_path, state)
         first = self.metrics_logger[self.metrics_names[0]]
         if len(first) and first[:, 0].max() == first[-1][0]:
             log.info('Updating best model at epoch %d', epoch)
-            shutil.copyfile(latest,
-                            os.path.join(self.cfg.save_path, 'best.pkl'))
+            self._checkpointer.promote_best(self.cfg.save_path)
 
     def load(self, load_path: str):
-        if os.path.isdir(load_path):
-            load_path = os.path.join(load_path, 'best.pkl')
         log.info('Loading model %s', load_path)
-        with open(load_path, 'rb') as f:
-            state = pickle.load(f)
+        state = self._checkpointer.load(load_path)
         loaded = jax.tree.map(jnp.asarray, state['params'])
         self.params = self._merge_loaded_params(self.params, loaded)
         self.opt_state = self.optimizer.init(self.params)
