@@ -79,3 +79,40 @@ def test_boosted_pop_head(dummy_dir, tmp_path, monkeypatch):
                   '-k', '3', '--uid', 'gbdtp'])
     assert tr.model.n_features == 7
     assert np.isfinite(tr.inner.metrics_logger['recall']).all()
+
+
+def test_reviews_pos_user_lookup(dummy_dir):
+    """pos='user': the (item, user) pair vector matches the review's
+    embedding; missing pairs give zeros."""
+    import jax.numpy as jnp
+
+    from textgcn_tpu.config import Config
+    from textgcn_tpu.data.text import load_ltr_data
+    from textgcn_tpu.models.text_loss import TextModelReviews
+
+    cfg = Config(model='reviews', data=str(dummy_dir), batch_size=16,
+                 emb_size=16, n_layers=2, k=(3,),
+                 save_path='/tmp/tpu_rev').finalize()
+    data = load_ltr_data(cfg)
+    model = TextModelReviews(cfg, data, pos='user')
+
+    # pick a known train review pair
+    item = int(data.review_pair_keys[0] // data.n_users)
+    user = int(data.review_pair_keys[0] % data.n_users)
+    vec = model._item_reviews_user(jnp.asarray([item]), jnp.asarray([user]))
+    np.testing.assert_allclose(np.asarray(vec)[0],
+                               data.review_pair_vectors[0], atol=1e-6)
+    # an impossible pair gives zeros
+    vec0 = model._item_reviews_user(jnp.asarray([data.n_items - 1]),
+                                    jnp.asarray([data.n_users - 1]))
+    if (data.review_pair_keys != (data.n_items - 1) * data.n_users
+            + data.n_users - 1).all():
+        assert np.abs(np.asarray(vec0)).sum() == 0.0
+
+    # the model trains with the pair representation
+    import jax
+    params = model.init_params(jax.random.key(0))
+    batch = jax.tree.map(lambda x: x[0],
+                         model.sample_batches(jax.random.key(1), 16))
+    loss, _ = model.loss(params, batch, jax.random.key(2))
+    assert np.isfinite(float(loss))

@@ -30,6 +30,8 @@ def main(argv: list[str] | None = None):
     mesh = None
     if cfg.mesh:
         from .parallel.mesh import make_mesh, shard_model
+        from .parallel.multihost import maybe_initialize
+        maybe_initialize()
         mesh = make_mesh(cfg.mesh_shape)
         logger.info('Mesh: %s', dict(mesh.shape))
 

@@ -166,6 +166,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--emb_batch_size', type=int, default=d.emb_batch_size)
     p.add_argument('--bert_model', type=str, default=d.bert_model)
     p.add_argument('--separator', '--sep', dest='sep', type=str, default=d.sep)
+    p.add_argument('--gpu', type=str, default='',
+                   help='accepted for reference CLI compatibility; device '
+                        'selection is owned by JAX (see --mesh)')
     p.add_argument('--seed', type=int, default=d.seed)
     p.add_argument('--reshuffle', action='store_true')
     p.add_argument('--quiet', '-q', action='store_true')

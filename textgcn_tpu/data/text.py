@@ -131,6 +131,12 @@ class LTRData(InteractionData):
     popularity_users: np.ndarray = None       # (n_users, 1)
     popularity_items: np.ndarray = None       # (n_items, 1)
     text_dim: int = 0
+    # per-(item, user) review vectors for the pos='user' text
+    # representation (reference reviews_models.py:60,139-142): sorted
+    # composite keys item*n_users+user with aligned vectors; lookup by
+    # searchsorted, missing pairs -> zeros
+    review_pair_keys: np.ndarray = None       # (n_reviews,) int64 sorted
+    review_pair_vectors: np.ndarray = None    # (n_reviews, D)
 
 
 def _load_kg_descriptions(base: InteractionData, cfg: Config) -> np.ndarray:
@@ -235,6 +241,14 @@ def load_ltr_data(cfg: Config, popularity_mode: str = 'fixed') -> LTRData:
     pop_u = _popularity(reviews, 'user_id', base.n_users, popularity_mode)
     pop_i = _popularity(reviews, 'asin', base.n_items, popularity_mode)
 
+    # (item, user) -> review-vector lookup over the train-retained reviews
+    pair_keys = (reviews['asin'].to_numpy(np.int64) * base.n_users
+                 + reviews['user_id'].to_numpy(np.int64))
+    order = np.argsort(pair_keys)
+    pair_keys = pair_keys[order]
+    pair_vectors = vectors[reviews['_vec_row'].to_numpy()[order]] \
+        .astype(np.float32)
+
     return LTRData(
         **{f.name: getattr(base, f.name)
            for f in base.__dataclass_fields__.values()},
@@ -243,6 +257,7 @@ def load_ltr_data(cfg: Config, popularity_mode: str = 'fixed') -> LTRData:
         users_as_avg_reviews=users_as_avg_reviews,
         users_as_avg_desc=users_as_avg_desc,
         popularity_users=pop_u, popularity_items=pop_i, text_dim=dim,
+        review_pair_keys=pair_keys, review_pair_vectors=pair_vectors,
     )
 
 

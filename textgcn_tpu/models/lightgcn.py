@@ -41,11 +41,16 @@ class LightGCN:
         override = os.environ.get('TEXTGCN_TPU_PALLAS', '')
         platform = jax.devices()[0].platform.lower()
         on_tpu = 'tpu' in platform or platform == 'axon'
+        # below ~200k edges XLA's segment-sum path wins (kernel launch +
+        # compile overheads; measured crossover on v5e) — auto-select
+        min_edges = int(os.environ.get('TEXTGCN_TPU_PALLAS_MIN_EDGES',
+                                       '200000'))
+        big_enough = data.graph.n_edges >= min_edges
         if override == '0':
             self.backend = 'xla'
         elif override == 'interpret':
             self.backend = 'pallas_interpret'
-        elif override == '1' or (cfg.use_pallas and on_tpu):
+        elif override == '1' or (cfg.use_pallas and on_tpu and big_enough):
             self.backend = 'pallas'
         else:
             self.backend = 'xla'

@@ -133,17 +133,36 @@ class TextModelKG(TextLossModel):
 
 
 class TextModelReviews(TextLossModel):
-    """Items represented by mean-review embeddings (reference
-    ``reviews_models.py:116-142``)."""
+    """Items represented by mean-review embeddings, or — with
+    ``pos='user'`` — by the review the sampled user wrote about the item
+    (reference ``reviews_models.py:116-142``)."""
 
-    def __init__(self, cfg, data, **kw):
+    def __init__(self, cfg, data, pos: str = 'avg', **kw):
         super().__init__(cfg, data, **kw)
         self.items_as_avg_reviews = jnp.asarray(data.items_as_avg_reviews)
+        self.pos_mode = pos
+        if pos == 'user':
+            self._pair_keys = jnp.asarray(data.review_pair_keys)
+            self._pair_vectors = jnp.asarray(data.review_pair_vectors)
+
+    def _item_reviews_user(self, items, users):
+        """Vector of the (item, user) review; zeros when the pair has no
+        train review (reference indexes the pandas MultiIndex,
+        ``reviews_models.py:139-142``)."""
+        key = items.astype(jnp.int64) * self.n_users \
+            + users.astype(jnp.int64)
+        idx = jnp.searchsorted(self._pair_keys, key)
+        idx = jnp.clip(idx, 0, self._pair_keys.shape[0] - 1)
+        found = (self._pair_keys[idx] == key)[:, None]
+        return jnp.where(found, self._pair_vectors[idx], 0.0)
 
     def pos_items_reprs(self, items, users):
+        if self.pos_mode == 'user':
+            return self._item_reviews_user(items, users)
         return self.items_as_avg_reviews[items]
 
-    neg_items_reprs = pos_items_reprs
+    def neg_items_reprs(self, items, users):
+        return self.items_as_avg_reviews[items]
 
 
 class TextModel(TextModelReviews, TextModelKG):

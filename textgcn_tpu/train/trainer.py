@@ -28,8 +28,6 @@ boundary is crossed once per epoch instead of once per batch.
 from __future__ import annotations
 
 import os
-import pickle
-import shutil
 import time
 from functools import partial
 
