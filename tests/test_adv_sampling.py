@@ -25,10 +25,9 @@ def test_sample_batches_shapes(tmp_path, dummy_dir):
     cfg = make_cfg(tmp_path, dummy_dir)
     data = load_interactions(cfg.data)
     model = AdvSamplModel(cfg, data)
-    users, cands, mask = model.sample_batches(jax.random.key(0), 16)
+    users, mask = model.sample_batches(jax.random.key(0), 16)
     nb = model.num_batches(16)
     assert users.shape == (nb, 16)
-    assert cands.shape == (nb, 16, model.n_candidates)
     assert mask.shape == (nb, 16)
     # tiny catalog: candidates capped at n_items
     assert model.n_candidates == data.n_items
@@ -39,14 +38,13 @@ def test_loss_runs_and_is_finite(tmp_path, dummy_dir):
     data = load_interactions(cfg.data)
     model = AdvSamplModel(cfg, data)
     params = model.init_params(jax.random.key(0))
-    users, cands, mask = model.sample_batches(jax.random.key(1), 16)
-    loss, aux = model.loss(params, (users[0], cands[0], mask[0]),
-                           jax.random.key(2))
+    users, mask = model.sample_batches(jax.random.key(1), 16)
+    loss, aux = model.loss(params, (users[0], mask[0]), jax.random.key(2))
     assert np.isfinite(float(loss))
     assert np.isfinite(float(aux['bpr']))
 
     # gradients flow to both tables
-    grads = jax.grad(lambda p: model.loss(p, (users[0], cands[0], mask[0]),
+    grads = jax.grad(lambda p: model.loss(p, (users[0], mask[0]),
                                           jax.random.key(2))[0])(params)
     assert float(jnp.abs(grads['user_emb']).sum()) > 0
     assert float(jnp.abs(grads['item_emb']).sum()) > 0

@@ -142,3 +142,18 @@ def test_wpop_end_to_end(ltr_data, tmp_path, dummy_dir):
     trainer = Trainer(cfg, model, ltr_data)
     trainer.fit()
     assert np.isfinite(trainer.metrics_logger['recall']).all()
+
+
+def test_ltr_with_padded_tables(ltr_data, tmp_path, dummy_dir):
+    """Fused scoring must work when table rows are padded (mesh / pallas
+    paths); phantom items never surface in top-k."""
+    padded = ltr_data.padded_to(8)
+    assert padded.n_items_padded > padded.n_items
+    cfg = make_cfg(tmp_path, dummy_dir, uid='pad')
+    model = LTRLinear(cfg, padded)
+    assert model.n_items_t == padded.n_items_padded
+    trainer = Trainer(cfg, model, padded)
+    trainer.fit()
+    preds, _ = trainer.predict(range(padded.n_users), with_scores=True)
+    for row in preds:
+        assert all(i < padded.n_items for i in row), 'phantom item surfaced'

@@ -45,27 +45,26 @@ class AdvSamplModel(LightGCN):
         self.pos_samples = POS_SAMPLES
         self.n_hard_negs = min(max(cfg.k), self.n_candidates)
 
-    # --- epoch sampling: (user, candidates) rows ---------------------------
+    # --- epoch sampling: user rows only --------------------------------------
+    # candidates are i.i.d. uniform (reference draws them per example,
+    # advanced_sampling.py:21-22), so they are generated per batch inside
+    # the loss instead of materializing an (epoch, 1000) candidate matrix
+    # (which would be GBs at production scale)
 
     def sample_batches(self, key, batch_size: int):
         n_users = self.n_users
         n = self.iterable_len
-        k_cand, k_perm = jax.random.split(key)
         users = jnp.repeat(jnp.arange(n_users, dtype=jnp.int32),
                            self.bucket_len)
-        cands = jax.random.randint(k_cand, (n, self.n_candidates), 0,
-                                   self.n_items, dtype=jnp.int32)
-        perm = jax.random.permutation(k_perm, n)
-        users, cands = users[perm], cands[perm]
+        perm = jax.random.permutation(key, n)
+        users = users[perm]
 
         n_batches = self.num_batches(batch_size)
         padded = n_batches * batch_size
         pad = padded - n
         mask = jnp.arange(padded) < n
         users = jnp.pad(users, (0, pad)).reshape(n_batches, batch_size)
-        cands = jnp.pad(cands, ((0, pad), (0, 0))).reshape(
-            n_batches, batch_size, -1)
-        return users, cands, mask.reshape(n_batches, batch_size)
+        return users, mask.reshape(n_batches, batch_size)
 
     # --- loss ---------------------------------------------------------------
 
@@ -77,8 +76,11 @@ class AdvSamplModel(LightGCN):
         ``super().get_loss`` (``base_model.py:188``) each run their own
         dropout propagation; the ranking pass carries no gradient.
         """
-        users, cands, mask = batch
-        k_rank, k_loss, k_pos = jax.random.split(dropout_key, 3)
+        users, mask = batch
+        k_rank, k_loss, k_pos, k_cand = jax.random.split(dropout_key, 4)
+        cands = jax.random.randint(
+            k_cand, (users.shape[0], self.n_candidates), 0, self.n_items,
+            dtype=jnp.int32)
 
         # ranking pass (no gradient, fresh dropout draw)
         rank_reprs = jax.tree.map(

@@ -33,6 +33,7 @@ import logging
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.retrieval import topk_from_scores
 from .lightgcn import LightGCN
@@ -85,10 +86,22 @@ class LTRLinear(LightGCN):
         self.n_features = len(self.feature_names)
         self.ltr_layers = tuple(cfg.ltr_layers)
         self.freeze = cfg.freeze
-        self.items_as_desc = jnp.asarray(data.items_as_desc)
-        self.items_as_avg_reviews = jnp.asarray(data.items_as_avg_reviews)
-        self.users_as_avg_reviews = jnp.asarray(data.users_as_avg_reviews)
-        self.users_as_avg_desc = jnp.asarray(data.users_as_avg_desc)
+
+        # text feature tensors padded to the (possibly mesh/kernel-padded)
+        # table row counts so fused batchwise scoring can concatenate them
+        # with propagated reprs; phantom rows are zeros and get masked out
+        # of retrieval
+        def pad_rows(a, n):
+            a = np.asarray(a)
+            return jnp.asarray(np.pad(a, ((0, n - a.shape[0]), (0, 0))))
+
+        self.items_as_desc = pad_rows(data.items_as_desc, self.n_items_t)
+        self.items_as_avg_reviews = pad_rows(data.items_as_avg_reviews,
+                                             self.n_items_t)
+        self.users_as_avg_reviews = pad_rows(data.users_as_avg_reviews,
+                                             self.n_users_t)
+        self.users_as_avg_desc = pad_rows(data.users_as_avg_desc,
+                                          self.n_users_t)
         # evaluate the loaded base with plain GCN scoring before the head
         # takes over (reference ltr_models.py:66-68,175-179)
         self.score_with_head = True
@@ -228,8 +241,12 @@ class LTRLinearWPop(LTRLinear):
 
     def __init__(self, cfg, data):
         super().__init__(cfg, data)
-        self.popularity_users = jnp.asarray(data.popularity_users)
-        self.popularity_items = jnp.asarray(data.popularity_items)
+        pu = np.asarray(data.popularity_users)
+        pi = np.asarray(data.popularity_items)
+        self.popularity_users = jnp.asarray(
+            np.pad(pu, ((0, self.n_users_t - pu.shape[0]), (0, 0))))
+        self.popularity_items = jnp.asarray(
+            np.pad(pi, ((0, self.n_items_t - pi.shape[0]), (0, 0))))
 
     def features_pairwise(self, u_vecs, i_vecs, users, items):
         base = super().features_pairwise(u_vecs, i_vecs, users, items)
