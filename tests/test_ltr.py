@@ -144,16 +144,51 @@ def test_wpop_end_to_end(ltr_data, tmp_path, dummy_dir):
     assert np.isfinite(trainer.metrics_logger['recall']).all()
 
 
-def test_ltr_with_padded_tables(ltr_data, tmp_path, dummy_dir):
+@pytest.mark.parametrize('cls', [LTRLinear, LTRLinearWPop])
+def test_ltr_with_padded_tables(cls, ltr_data, tmp_path, dummy_dir):
     """Fused scoring must work when table rows are padded (mesh / pallas
     paths); phantom items never surface in top-k."""
     padded = ltr_data.padded_to(8)
     assert padded.n_items_padded > padded.n_items
-    cfg = make_cfg(tmp_path, dummy_dir, uid='pad')
-    model = LTRLinear(cfg, padded)
+    cfg = make_cfg(tmp_path, dummy_dir, uid='pad',
+                   model='ltr_pop' if cls is LTRLinearWPop else
+                   'ltr_linear')
+    model = cls(cfg, padded)
     assert model.n_items_t == padded.n_items_padded
     trainer = Trainer(cfg, model, padded)
     trainer.fit()
     preds, _ = trainer.predict(range(padded.n_users), with_scores=True)
     for row in preds:
         assert all(i < padded.n_items for i in row), 'phantom item surfaced'
+
+
+def test_mesh_eval_uses_ltr_head(ltr_data, tmp_path, dummy_dir):
+    """Under a mesh, LTR evaluate must score through the trained head,
+    not the plain dot product (regression for the sharded-topk bypass)."""
+    from textgcn_tpu.parallel.mesh import make_mesh, shard_model
+
+    mesh = make_mesh((4, 2))
+    padded = ltr_data.padded_to(mesh.size)
+    cfg = make_cfg(tmp_path, dummy_dir, uid='meshltr', dropout=0.0)
+    model = LTRLinear(cfg, padded)
+    assert model.supports_plain_sharded_topk is False
+    shard_model(mesh, model)
+    tr_mesh = Trainer(cfg, model, padded, mesh=mesh)
+
+    model_s = LTRLinear(cfg, ltr_data)
+    tr_single = Trainer(cfg, model_s, ltr_data)
+    # force identical params (mesh tables are row-padded copies)
+    import jax.numpy as _jnp
+    pu = np.asarray(tr_single.params['user_emb'])
+    pi = np.asarray(tr_single.params['item_emb'])
+    tr_mesh.params = {
+        'user_emb': _jnp.asarray(np.pad(
+            pu, ((0, model.n_users_t - pu.shape[0]), (0, 0)))),
+        'item_emb': _jnp.asarray(np.pad(
+            pi, ((0, model.n_items_t - pi.shape[0]), (0, 0)))),
+        'tower': tr_single.params['tower'],
+    }
+    r_mesh = tr_mesh.evaluate()
+    r_single = tr_single.evaluate()
+    for m in r_single:
+        np.testing.assert_allclose(r_mesh[m], r_single[m], atol=1e-4)

@@ -55,11 +55,12 @@ class LightGCN:
         else:
             self.backend = 'xla'
         # embedding-table row counts (>= real counts when mesh-sharded;
-        # rounded to the kernel's source-block size under pallas)
+        # under pallas rounded to 4096 so any power-of-two source block the
+        # density-adaptive tile planner picks divides the table — at most
+        # ~1 MB of phantom rows)
         table_round = 1
         if self.backend != 'xla':
-            from ..ops.pallas_spmm import SRC_BLOCK
-            table_round = SRC_BLOCK
+            table_round = 4096
         self.n_users_t = -(-data.n_users_padded // table_round) * table_round
         self.n_items_t = -(-data.n_items_padded // table_round) * table_round
         self.n_layers = cfg.n_layers
@@ -179,3 +180,7 @@ class LightGCN:
 
     def trainable_mask(self, params):
         return jax.tree.map(lambda _: True, params)
+
+    # plain dot-product scoring: mesh eval may use the distributed-top-k
+    # shortcut (LTR heads override this to False)
+    supports_plain_sharded_topk = True

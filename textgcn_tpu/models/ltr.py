@@ -50,6 +50,12 @@ FEATURE_NAMES = [
 ]
 
 
+def _pad_rows(a, n_rows: int):
+    """Zero-pad a feature matrix to the (possibly padded) table row count."""
+    a = np.asarray(a)
+    return jnp.asarray(np.pad(a, ((0, n_rows - a.shape[0]), (0, 0))))
+
+
 def _linear_init(key, fan_in: int, fan_out: int):
     """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     kw, kb = jax.random.split(key)
@@ -91,17 +97,17 @@ class LTRLinear(LightGCN):
         # table row counts so fused batchwise scoring can concatenate them
         # with propagated reprs; phantom rows are zeros and get masked out
         # of retrieval
-        def pad_rows(a, n):
-            a = np.asarray(a)
-            return jnp.asarray(np.pad(a, ((0, n - a.shape[0]), (0, 0))))
-
-        self.items_as_desc = pad_rows(data.items_as_desc, self.n_items_t)
-        self.items_as_avg_reviews = pad_rows(data.items_as_avg_reviews,
-                                             self.n_items_t)
-        self.users_as_avg_reviews = pad_rows(data.users_as_avg_reviews,
-                                             self.n_users_t)
-        self.users_as_avg_desc = pad_rows(data.users_as_avg_desc,
-                                          self.n_users_t)
+        self.items_as_desc = _pad_rows(data.items_as_desc, self.n_items_t)
+        self.items_as_avg_reviews = _pad_rows(data.items_as_avg_reviews,
+                                              self.n_items_t)
+        self.users_as_avg_reviews = _pad_rows(data.users_as_avg_reviews,
+                                              self.n_users_t)
+        self.users_as_avg_desc = _pad_rows(data.users_as_avg_desc,
+                                           self.n_users_t)
+        # distributed top-k shortcuts score with a plain dot product; any
+        # model with a scoring head must take the head-aware eval path
+        # (Trainer._make_eval_fn checks this)
+        self.supports_plain_sharded_topk = False
         # evaluate the loaded base with plain GCN scoring before the head
         # takes over (reference ltr_models.py:66-68,175-179)
         self.score_with_head = True
@@ -241,12 +247,10 @@ class LTRLinearWPop(LTRLinear):
 
     def __init__(self, cfg, data):
         super().__init__(cfg, data)
-        pu = np.asarray(data.popularity_users)
-        pi = np.asarray(data.popularity_items)
-        self.popularity_users = jnp.asarray(
-            np.pad(pu, ((0, self.n_users_t - pu.shape[0]), (0, 0))))
-        self.popularity_items = jnp.asarray(
-            np.pad(pi, ((0, self.n_items_t - pi.shape[0]), (0, 0))))
+        self.popularity_users = _pad_rows(data.popularity_users,
+                                          self.n_users_t)
+        self.popularity_items = _pad_rows(data.popularity_items,
+                                          self.n_items_t)
 
     def features_pairwise(self, u_vecs, i_vecs, users, items):
         base = super().features_pairwise(u_vecs, i_vecs, users, items)

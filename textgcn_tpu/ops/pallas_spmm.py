@@ -58,49 +58,76 @@ PRECISION = (jax.lax.Precision.HIGHEST
              .lower() == 'highest' else jax.lax.Precision.DEFAULT)
 
 
-def _kernel(ptr_ref, sb_ref, packed_ref, w_ref, x_ref, out_ref):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+def _make_kernel(src_block: int, dst_block: int):
+    def _kernel(ptr_ref, sb_ref, packed_ref, w_ref, x_ref, out_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    g = ptr_ref[b] + t
+        g = ptr_ref[b] + t
 
-    @pl.when(g < ptr_ref[b + 1])
-    def _():
-        # per chunk: one-hot gather matmul; then ONE merged scatter matmul
-        # for the whole group (fewer, larger MXU ops — measured faster than
-        # per-chunk scatters)
-        rows_all = []
-        for j in range(GROUP):                        # static unroll
-            sb = sb_ref[g * GROUP + j]
-            packed = packed_ref[0, j, :]              # (CHUNK,) int32
-            src_local = packed & 0xFFFF
-            start = pl.multiple_of(sb * SRC_BLOCK, SRC_BLOCK)
-            xb = x_ref[pl.ds(start, SRC_BLOCK), :]    # (SRC_BLOCK, d)
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            # per chunk: one-hot gather matmul; then ONE merged scatter
+            # matmul for the whole group (fewer, larger MXU ops — measured
+            # faster than per-chunk scatters)
+            rows_all = []
+            for j in range(GROUP):                    # static unroll
+                sb = sb_ref[g * GROUP + j]
+                packed = packed_ref[0, j, :]          # (CHUNK,) int32
+                src_local = packed & 0xFFFF
+                start = pl.multiple_of(sb * src_block, src_block)
+                xb = x_ref[pl.ds(start, src_block), :]
 
-            s_gather = (src_local[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, SRC_BLOCK), 1)).astype(jnp.float32)
-            rows = jnp.dot(s_gather, xb, precision=PRECISION,
-                           preferred_element_type=jnp.float32)  # (CHUNK, d)
-            rows_all.append(rows * w_ref[0, j, :][:, None])
+                s_gather = (src_local[:, None]
+                            == jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, src_block), 1)).astype(jnp.float32)
+                rows = jnp.dot(s_gather, xb, precision=PRECISION,
+                               preferred_element_type=jnp.float32)
+                rows_all.append(rows * w_ref[0, j, :][:, None])
 
-        rows_cat = jnp.concatenate(rows_all, axis=0)  # (GROUP*CHUNK, d)
-        dst_all = packed_ref[0].reshape(-1) >> 16     # (GROUP*CHUNK,)
-        s_scatter = (jax.lax.broadcasted_iota(
-            jnp.int32, (DST_BLOCK, GROUP * CHUNK), 0)
-            == dst_all[None, :]).astype(jnp.float32)
-        out_ref[:] += jnp.dot(s_scatter, rows_cat, precision=PRECISION,
-                              preferred_element_type=jnp.float32)
+            rows_cat = jnp.concatenate(rows_all, axis=0)
+            dst_all = packed_ref[0].reshape(-1) >> 16
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_all[None, :]).astype(jnp.float32)
+            out_ref[:] += jnp.dot(s_scatter, rows_cat, precision=PRECISION,
+                                  preferred_element_type=jnp.float32)
+
+    return _kernel
+
+
+def plan_tile_blocks(n_edges: int, n_src: int, n_dst: int):
+    """Pick (src_block, dst_block) for the graph's density.
+
+    Padding inflation per tile is ~1 + CHUNK/(2*lambda) with
+    lambda = S*D*density expected edges per tile; per-edge MXU work is
+    (S + D)*d*2.  Minimize their product over power-of-two blocks.
+    Sparse graphs get bigger tiles; dst_local must fit 15 bits
+    (packed int32), so blocks cap at 4096.
+    """
+    density = n_edges / max(n_src * n_dst, 1)
+    best = None
+    for s in (512, 1024, 2048, 4096):
+        for dblk in (512, 1024, 2048, 4096):
+            lam = s * dblk * density
+            pad = 1.0 + CHUNK / (2.0 * max(lam, 1.0))
+            cost = (s + dblk) * pad
+            if best is None or cost < best[0]:
+                best = (cost, s, dblk)
+    return best[1], best[2]
 
 
 @functools.partial(jax.jit, static_argnames=('n_dst_blocks', 'max_groups',
+                                             'src_block', 'dst_block',
                                              'interpret'))
 def pallas_spmm(group_ptr, chunk_sb, packed, w, x, *, n_dst_blocks: int,
-                max_groups: int, interpret: bool = False):
-    """Blocked one-hot SpMM.  ``x`` rows must be padded to SRC_BLOCK.
+                max_groups: int, src_block: int = SRC_BLOCK,
+                dst_block: int = DST_BLOCK, interpret: bool = False):
+    """Blocked one-hot SpMM.  ``x`` rows must be padded to ``src_block``.
 
     ``packed``/``w`` have shape (n_groups, GROUP, CHUNK); ``group_ptr``
     delimits each destination block's group range; ``chunk_sb`` maps every
@@ -113,7 +140,7 @@ def pallas_spmm(group_ptr, chunk_sb, packed, w, x, *, n_dst_blocks: int,
         return (jnp.minimum(ptr[b] + t, n_groups - 1), 0, 0)
 
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(src_block, dst_block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_dst_blocks, max_groups),
@@ -125,10 +152,10 @@ def pallas_spmm(group_ptr, chunk_sb, packed, w, x, *, n_dst_blocks: int,
                 pl.BlockSpec(x.shape, lambda b, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),     # source table
             ],
-            out_specs=pl.BlockSpec((DST_BLOCK, d), lambda b, t, *_: (b, 0),
+            out_specs=pl.BlockSpec((dst_block, d), lambda b, t, *_: (b, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * DST_BLOCK, d),
+        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, d),
                                        jnp.float32),
         interpret=interpret,
     )(group_ptr, chunk_sb, packed, w, x)
@@ -144,14 +171,18 @@ class PallasDirection:
     """
 
     def __init__(self, src: np.ndarray, dst: np.ndarray, w: np.ndarray,
-                 n_src: int, n_dst: int):
+                 n_src: int, n_dst: int, src_block: int = SRC_BLOCK,
+                 dst_block: int = DST_BLOCK):
         src = np.asarray(src, np.int64)
         dst = np.asarray(dst, np.int64)
         w = np.asarray(w, np.float32)
+        self.src_block = int(src_block)
+        self.dst_block = int(dst_block)
+        SRC_B, DST_B = self.src_block, self.dst_block
         self.n_dst = int(n_dst)
-        self.n_src_padded = -(-int(n_src) // SRC_BLOCK) * SRC_BLOCK
-        self.n_dst_blocks = max(1, -(-int(n_dst) // DST_BLOCK))
-        n_src_blocks = self.n_src_padded // SRC_BLOCK
+        self.n_src_padded = -(-int(n_src) // SRC_B) * SRC_B
+        self.n_dst_blocks = max(1, -(-int(n_dst) // DST_B))
+        n_src_blocks = self.n_src_padded // SRC_B
 
         # native C++ layout builder when available (textgcn_tpu/native.py;
         # same output as the numpy construction below, much faster on
@@ -161,7 +192,7 @@ class PallasDirection:
             (packed, w_arr, sb, gptr, max_groups, dst_ids,
              src_ids) = native.tile_layout(
                 src, dst, w, self.n_src_padded, self.n_dst,
-                DST_BLOCK, SRC_BLOCK, CHUNK, GROUP)
+                DST_B, SRC_B, CHUNK, GROUP)
             n_chunks = len(sb)
             self.n_chunks = n_chunks
             self.n_groups = max(n_chunks // GROUP, 1)
@@ -178,7 +209,7 @@ class PallasDirection:
                 src_ids.reshape(self.n_groups, GROUP, CHUNK))
             return
 
-        tile = (dst // DST_BLOCK) * n_src_blocks + (src // SRC_BLOCK)
+        tile = (dst // DST_B) * n_src_blocks + (src // SRC_B)
         order = np.argsort(tile, kind='stable')
         src, dst, w, tile = src[order], dst[order], w[order], tile[order]
 
@@ -202,12 +233,12 @@ class PallasDirection:
         pad_mask = np.ones(total, bool)
         pad_mask[idx] = False
         pad_tiles = tile_p[pad_mask]
-        src_p[pad_mask] = (pad_tiles % n_src_blocks) * SRC_BLOCK
-        dst_p[pad_mask] = (pad_tiles // n_src_blocks) * DST_BLOCK
+        src_p[pad_mask] = (pad_tiles % n_src_blocks) * SRC_B
+        dst_p[pad_mask] = (pad_tiles // n_src_blocks) * DST_B
 
         n_chunks0 = total // CHUNK
-        packed0 = (((dst_p % DST_BLOCK).astype(np.int32) << 16)
-                   | (src_p % SRC_BLOCK).astype(np.int32)
+        packed0 = (((dst_p % DST_B).astype(np.int32) << 16)
+                   | (src_p % SRC_B).astype(np.int32)
                    ).reshape(n_chunks0, CHUNK)
         w0 = w_p.reshape(n_chunks0, CHUNK)
         sb0 = (tile_p.reshape(-1, CHUNK)[:, 0] % n_src_blocks) \
@@ -272,6 +303,7 @@ class PallasDirection:
             self.group_ptr, self.chunk_sb, self.packed,
             self.w if w is None else w, x,
             n_dst_blocks=self.n_dst_blocks, max_groups=self.max_groups,
+            src_block=self.src_block, dst_block=self.dst_block,
             interpret=interpret)
         return out[:self.n_dst]
 
@@ -321,15 +353,26 @@ class TiledSpMM:
     VMEM_X_BUDGET = 6 * 1024 * 1024  # pallas double-buffers the x input
 
     def __init__(self, src, dst, w, n_src: int, n_dst: int, d: int,
-                 user_axis: str, interpret: bool = False):
+                 user_axis: str, interpret: bool = False,
+                 src_block: int | None = None,
+                 dst_block: int | None = None):
         self.n_src = int(n_src)
         self.n_dst = int(n_dst)
         self.user_axis = user_axis
         self.interpret = interpret
+        if src_block is None or dst_block is None:
+            sb_auto, db_auto = plan_tile_blocks(len(np.asarray(src)),
+                                                n_src, n_dst)
+            src_block = src_block or sb_auto
+            dst_block = dst_block or db_auto
+        # the table rows must divide the source block
+        while int(n_src) % src_block:
+            src_block //= 2
+        self.src_block, self.dst_block = src_block, dst_block
         bytes_per_split = self.VMEM_X_BUDGET
-        rows_per_split = max(SRC_BLOCK,
+        rows_per_split = max(src_block,
                              (bytes_per_split // (d * 4))
-                             // SRC_BLOCK * SRC_BLOCK)
+                             // src_block * src_block)
         self.splits = []
         src = np.asarray(src)
         for off in range(0, max(int(n_src), 1), rows_per_split):
@@ -337,7 +380,8 @@ class TiledSpMM:
             sel = (src >= off) & (src < hi)
             direction = PallasDirection(
                 src[sel] - off, np.asarray(dst)[sel],
-                np.asarray(w)[sel], hi - off, n_dst)
+                np.asarray(w)[sel], hi - off, n_dst,
+                src_block=src_block, dst_block=dst_block)
             self.splits.append((off, hi - off, direction))
 
     def _dir_weights(self, direction, salt, keep, off):

@@ -146,8 +146,10 @@ class Trainer:
         def eval_batches(params, users_matrix):
             reprs = model.representation(params, training=False)
 
+            plain = getattr(model, 'supports_plain_sharded_topk', True)
+
             def one_batch(_, bu):
-                if mesh is not None:
+                if mesh is not None and plain:
                     from ..parallel.sharded import sharded_topk
                     users_repr, items_repr = reprs
                     vals, idx = sharded_topk(
@@ -155,6 +157,8 @@ class Trainer:
                         model.pos_padded[bu], max_k,
                         n_valid=model.n_items)
                 else:
+                    # head-aware path (LTR fused scoring); under a mesh
+                    # GSPMD still partitions the score matmul
                     vals, idx = model.topk_for_users(params, reprs, bu,
                                                      max_k)
                 return None, (vals, idx)

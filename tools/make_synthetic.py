@@ -1,0 +1,80 @@
+"""Generate a clustered synthetic dataset with text (meta + reviews).
+
+Creates a structured bipartite graph (users prefer their cluster's items)
+so ranking quality is learnable, plus ``meta_synced.tsv`` and
+``reviews_text.tsv`` so the full lgcn -> ltr_linear warm-start recipe runs
+without external data (this image has no network access to fetch the
+Amazon datasets the reference uses).
+
+Usage: python tools/make_synthetic.py <out_dir> [n_users] [n_items] [seed]
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
+             k_clusters: int = 20, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    ucl = rng.randint(0, k_clusters, n_users)
+    icl = rng.randint(0, k_clusters, n_items)
+    items_by_cl = [np.where(icl == c)[0] for c in range(k_clusters)]
+    all_items = np.arange(n_items)
+
+    rows = []
+    for u in range(n_users):
+        own = items_by_cl[ucl[u]]
+        n_inter = rng.randint(8, 18)
+        n_own = max(int(n_inter * 0.85), 1)
+        chosen = list(rng.choice(own, size=min(n_own, len(own)),
+                                 replace=False))
+        extra = n_inter - len(chosen)
+        if extra > 0:
+            chosen += list(rng.choice(all_items, size=extra, replace=False))
+        for i in set(chosen):
+            rows.append((f'u{u}', f'i{i}'))
+    df = pd.DataFrame(rows, columns=['user_id', 'asin'])
+
+    test = df.groupby('user_id').sample(n=2, random_state=rng)
+    train = df.drop(test.index)
+    test = test[test.asin.isin(train.asin.unique())
+                & test.user_id.isin(train.user_id.unique())]
+
+    os.makedirs(out_dir, exist_ok=True)
+    train.to_csv(os.path.join(out_dir, 'train.tsv'), sep='\t', index=False)
+    test.to_csv(os.path.join(out_dir, 'test.tsv'), sep='\t', index=False)
+
+    meta = pd.DataFrame({
+        'asin': [f'i{i}' for i in range(n_items)],
+        'title': [f'product {i} of category {icl[i]} series'
+                  for i in range(n_items)],
+        'description': [f'a category {icl[i]} item with features '
+                        f'{i % 7} and {i % 13} for enthusiasts'
+                        for i in range(n_items)],
+    })
+    meta.to_csv(os.path.join(out_dir, 'meta_synced.tsv'), sep='\t',
+                index=False)
+
+    reviews = train.copy()
+    item_ids = reviews.asin.str[1:].astype(int)
+    reviews['review'] = [
+        f'user {u} review of category {icl[i]} product {i} quality '
+        f'{rng.randint(1, 5)}'
+        for u, i in zip(reviews.user_id, item_ids)]
+    reviews['time'] = rng.randint(1.5e9, 1.6e9, len(reviews))
+    reviews['rating'] = rng.randint(1, 6, len(reviews))
+    reviews.to_csv(os.path.join(out_dir, 'reviews_text.tsv'), sep='\t',
+                   index=False)
+    print(f'{out_dir}: {len(train)} train, {len(test)} test, '
+          f'{n_users} users, {n_items} items')
+
+
+if __name__ == '__main__':
+    out = sys.argv[1] if len(sys.argv) > 1 else 'data/synthetic'
+    n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    n_items = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    generate(out, n_users, n_items, seed=seed)
