@@ -241,6 +241,9 @@ def main():
     ap.add_argument('--skip_baseline', action='store_true')
     args = ap.parse_args()
 
+    from textgcn_tpu.cli import setup_compilation_cache
+    setup_compilation_cache()
+
     jax_eps, jax_step = bench_jax(steps=args.steps)
     eval_ups = bench_eval_jax()
     if args.skip_baseline:

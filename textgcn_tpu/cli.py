@@ -13,6 +13,8 @@ optional --load / --load_base -> fit -> optional predict-and-save
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 from .config import get_logger, parse_args
@@ -20,7 +22,21 @@ from .registry import get_class
 from .train.trainer import Trainer
 
 
+def setup_compilation_cache():
+    """Persistent XLA compilation cache (Pallas kernels compile via a slow
+    remote service on some TPU hosts — measured 300s cold vs 44s cached).
+    Disable with TEXTGCN_TPU_COMPILE_CACHE=0."""
+    d = os.environ.get('TEXTGCN_TPU_COMPILE_CACHE',
+                       os.path.expanduser('~/.cache/textgcn_tpu_jax'))
+    if d and d != '0':
+        try:
+            jax.config.update('jax_compilation_cache_dir', d)
+        except Exception:
+            pass
+
+
 def main(argv: list[str] | None = None):
+    setup_compilation_cache()
     cfg = parse_args(argv)
     logger = get_logger(cfg)
     loader, model_cls = get_class(cfg.model)
