@@ -100,24 +100,43 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_model(mesh: Mesh, model):
+def shard_model(mesh: Mesh, model, propagation: str = 'auto'):
     """Commit a model's device arrays to the mesh in-place.
 
-    Graph edges get edge-partitioned (zero-weight-padded to the mesh
-    size); the padded-positive matrices are replicated.  The mesh path
-    currently runs the XLA segment-sum propagation backend (a pallas_call
-    is opaque to GSPMD; per-shard pallas via shard_map is future work), so
-    a pallas-backed model is rebuilt on the XLA op here.
-    """
-    from ..ops.spmm import BipartiteGraphOp
+    Propagation backend on the mesh:
 
+    * ``pallas`` — edge-partitioned Pallas kernel per device under
+      shard_map + psum (``parallel/pallas_sharded.py``); requires the
+      source tables to fit the per-chip VMEM budget.
+    * ``xla`` — GSPMD-partitioned sorted-segment-sum (edge arrays
+      explicitly sharded over the whole mesh).
+    * ``auto`` — pallas when the single-chip backend already chose pallas
+      and both tables fit; xla otherwise.
+    """
     eu, ei, w = model._edges
-    model.backend = 'xla'
-    model.graph_op = BipartiteGraphOp(
-        eu, ei, w, model.n_users_t, model.n_items_t,
-        pad_multiple=mesh.size)
-    edge_sh = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
-    model.graph_op.put({k: edge_sh for k in model.graph_op.arrays})
+
+    fits = True
+    if hasattr(model, 'cfg'):
+        budget = 6 * 1024 * 1024
+        row_bytes = model.cfg.emb_size * 4
+        fits = max(model.n_users_t, model.n_items_t) * row_bytes <= budget
+    use_pallas = propagation == 'pallas' or (
+        propagation == 'auto' and model.backend == 'pallas' and fits)
+
+    if use_pallas:
+        from .pallas_sharded import MeshPallasGraphOp
+        model.graph_op = MeshPallasGraphOp(
+            eu, ei, w, model.n_users_t, model.n_items_t,
+            model.cfg.emb_size, mesh)
+        model.backend = 'pallas_mesh'
+    else:
+        from ..ops.spmm import BipartiteGraphOp
+        model.backend = 'xla'
+        model.graph_op = BipartiteGraphOp(
+            eu, ei, w, model.n_users_t, model.n_items_t,
+            pad_multiple=mesh.size)
+        edge_sh = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+        model.graph_op.put({k: edge_sh for k in model.graph_op.arrays})
     repl = replicated(mesh)
     model.pos_padded = jax.device_put(model.pos_padded, repl)
     model.pos_degree = jax.device_put(model.pos_degree, repl)
