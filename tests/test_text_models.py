@@ -116,3 +116,33 @@ def test_reviews_pos_user_lookup(dummy_dir):
                          model.sample_batches(jax.random.key(1), 16))
     loss, _ = model.loss(params, batch, jax.random.key(2))
     assert np.isfinite(float(loss))
+
+
+def test_embed_text_reads_reference_torch_cache(tmp_path):
+    """Drop-in compat: a reference-produced .torch cache file is read."""
+    import pandas as pd
+    import torch
+
+    from textgcn_tpu.data.text import embed_text
+
+    vecs = torch.arange(12.0).reshape(3, 4)
+    cache = str(tmp_path / 'item_kg_repr_model_0-seed')
+    torch.save(vecs, cache + '.torch')
+    out = embed_text(pd.Series(['a', 'b', 'c']), cache, 'any', 8)
+    np.testing.assert_array_equal(out, vecs.numpy())
+
+
+def test_k_too_large_raises(dummy_dir):
+    import pytest as _pytest
+
+    from textgcn_tpu.config import Config
+    from textgcn_tpu.data.core import load_interactions
+    from textgcn_tpu.models.lightgcn import LightGCN
+    from textgcn_tpu.train.trainer import Trainer
+
+    cfg = Config(model='lgcn', data=str(dummy_dir), k=(50,),
+                 save_path='/tmp/ktest').finalize()
+    data = load_interactions(cfg.data)
+    model = LightGCN(cfg, data)
+    with _pytest.raises(AssertionError, match='less than number of items'):
+        Trainer(cfg, model, data)

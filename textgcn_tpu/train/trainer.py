@@ -57,6 +57,9 @@ class Trainer:
         self.data = data
         self.mesh = mesh
         self.k = tuple(sorted(cfg.k))
+        assert data.n_items > max(self.k), \
+            f'all k must be less than number of items ({data.n_items}), ' \
+            f'got k={list(self.k)}'  # reference dataset.py:25
         self.metrics_names = list(metrics_mod.METRICS)
         self.metrics_logger = {m: np.zeros((0, len(self.k)))
                                for m in self.metrics_names}
