@@ -1,6 +1,7 @@
 """AdvSampl: dynamic negative selection semantics + end-to-end training."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,3 +59,41 @@ def test_adv_end_to_end(tmp_path, dummy_dir):
     trainer.fit()
     assert len(trainer.metrics_logger['recall']) >= 1
     assert np.isfinite(trainer.metrics_logger['recall']).all()
+
+
+def test_expanded_loss_matches_flat_expansion(tmp_path, dummy_dir, rng):
+    """The broadcasted (B,P,K) loss == base losses on the flat expanded
+    batch (the reference's construction)."""
+    from textgcn_tpu.models.losses import bpr_loss, reg_loss
+
+    cfg = make_cfg(tmp_path, dummy_dir)
+    data = load_interactions(cfg.data)
+    model = AdvSamplModel(cfg, data)
+    params = model.init_params(jax.random.key(0))
+    reprs = model.representation(params, training=False)
+    users_repr, items_repr = reprs
+
+    b, p, k = 6, 3, 4
+    users = jnp.asarray(rng.randint(0, data.n_users, b).astype(np.int32))
+    pos = jnp.asarray(rng.randint(0, data.n_items, (b, p)).astype(np.int32))
+    negs = jnp.asarray(rng.randint(0, data.n_items, (b, k)).astype(np.int32))
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 1, 0], bool))
+    neg_valid = jnp.asarray(rng.rand(b, k) > 0.3)
+
+    l_bpr, l_reg = model._expanded_loss(
+        params, users_repr, items_repr, users, pos, negs, mask, neg_valid)
+
+    # flat expansion (reference-style)
+    e_users = jnp.repeat(users, p * k)
+    e_pos = jnp.repeat(pos, k, axis=1).reshape(-1)
+    e_negs = jnp.tile(negs, (1, p)).reshape(-1, 1)
+    e_mask = jnp.broadcast_to(
+        mask[:, None, None] & neg_valid[:, None, :], (b, p, k)).reshape(-1)
+    u_emb = users_repr[e_users]
+    pos_scores = (u_emb * items_repr[e_pos]).sum(-1)
+    neg_scores = (u_emb[:, None, :] * items_repr[e_negs]).sum(-1)
+    want_bpr = bpr_loss(pos_scores, neg_scores, e_mask)
+    want_reg = reg_loss(params['user_emb'], params['item_emb'],
+                        e_users, e_pos, e_negs, e_mask, model.reg_lambda)
+    assert float(l_bpr) == pytest.approx(float(want_bpr), rel=1e-5)
+    assert float(l_reg) == pytest.approx(float(want_reg), rel=1e-5)

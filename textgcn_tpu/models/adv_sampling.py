@@ -10,15 +10,18 @@ standard BPR + reg loss.
 The reference does the selection in a per-user Python loop with
 sort/set-subtraction/cartesian_prod on the host
 (``advanced_sampling.py:61-67`` — its known bottleneck).  Here selection is
-one fused device computation: batched candidate scoring via an MXU einsum
-(``(B,d) x (B,C,d) -> (B,C)``), positive-membership masking to -inf, and a
-single ``lax.top_k`` — no host round-trips, no dynamic shapes.
+one fused device computation: ONE full-catalog MXU matmul, a Bernoulli
+candidate mask, train-positive masking to -inf, and a single
+``lax.top_k`` — no host round-trips, no per-candidate row gathers, no
+dynamic shapes.
 
-Deliberate deviations (documented, behavior-neutral at real scale):
-candidates and the 5 positives are drawn i.i.d. uniform rather than
-without-replacement (`random.sample`); candidates that happen to collide
-with positives are masked out of the loss via the validity mask instead of
-being impossible by construction.
+Deliberate deviations (documented, behavior-neutral at real scale): the
+candidate set is Bernoulli(p = 1000/n_items) per (user, item) — the same
+expected 1000 uniform candidates as the reference's `random.sample`, with
+binomial count variance; the 5 positives are drawn with replacement; the
+(pos, neg) cartesian loss is computed broadcasted over a (B, P, K) grid
+rather than a materialized expanded batch (numerically identical — see
+test_expanded_loss_matches_flat_expansion).
 """
 
 from __future__ import annotations
@@ -28,10 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.retrieval import NEG_INF
-from ..ops.sampling import _is_positive
+from ..ops.retrieval import NEG_INF, mask_train_items
 from .lightgcn import LightGCN
-from .losses import bpr_loss, reg_loss
 
 POS_SAMPLES = 5          # reference advanced_sampling.py:12
 MAX_NEG_CANDIDATES = 1000  # reference advanced_sampling.py:13
@@ -78,26 +79,30 @@ class AdvSamplModel(LightGCN):
         """
         users, mask = batch
         k_rank, k_loss, k_pos, k_cand = jax.random.split(dropout_key, 4)
-        cands = jax.random.randint(
-            k_cand, (users.shape[0], self.n_candidates), 0, self.n_items,
-            dtype=jnp.int32)
 
         # ranking pass (no gradient, fresh dropout draw)
         rank_reprs = jax.tree.map(
             jax.lax.stop_gradient,
             self.representation(params, training=True, dropout_key=k_rank))
         users_r, items_r = rank_reprs
-        # (B, d) x (B, C, d) -> (B, C): batched candidate scoring on the MXU
-        scores = jnp.einsum('bd,bcd->bc', users_r[users], items_r[cands],
-                            preferred_element_type=jnp.float32)
 
-        # mask out candidates that are positives for their user
-        is_pos = jax.vmap(_is_positive)(self.pos_padded[users], cands)
-        scores = jnp.where(is_pos, NEG_INF, scores)
+        # score the full catalog with ONE MXU matmul and restrict to a
+        # random candidate subset with a Bernoulli mask.  The reference
+        # gathers 1000 explicit random candidates per user
+        # (advanced_sampling.py:21-22,58) — on TPU that is 2M latency-bound
+        # row gathers per batch; masking E[candidates]=n_candidates items
+        # out of a (B, catalog) score matrix is the same selection in
+        # expectation with zero gathers.
+        scores = jnp.dot(users_r[users], items_r.T,
+                         preferred_element_type=jnp.float32)
+        scores = mask_train_items(scores, self.pos_padded[users],
+                                  self.n_items)      # positives + phantoms
+        keep = jax.random.bernoulli(
+            k_cand, self.n_candidates / self.n_items, scores.shape)
+        scores = jnp.where(keep, scores, NEG_INF)
 
-        # hardest negatives: top-K of masked scores
-        top_scores, top_idx = jax.lax.top_k(scores, self.n_hard_negs)
-        negs = jnp.take_along_axis(cands, top_idx, axis=1)  # (B, K)
+        # hardest negatives: top-K of masked scores (global item ids)
+        top_scores, negs = jax.lax.top_k(scores, self.n_hard_negs)
         neg_valid = top_scores > NEG_INF                    # (B, K)
 
         # random positives (with replacement) per user
@@ -108,23 +113,41 @@ class AdvSamplModel(LightGCN):
             self.pos_padded[users], (ridx % deg[:, None]).astype(jnp.int32),
             axis=1)                                         # (B, P)
 
-        # expanded batch: every (pos_j, neg_k) pairing per user
-        p, k = self.pos_samples, self.n_hard_negs
-        e_users = jnp.repeat(users, p * k)
-        e_pos = jnp.repeat(pos, k, axis=1).reshape(-1)       # (B*P*K,)
-        e_negs = jnp.tile(negs, (1, p)).reshape(-1, 1)       # (B*P*K, 1)
-        e_mask = jnp.broadcast_to(
-            mask[:, None, None] & neg_valid[:, None, :],
-            (b, p, k)).reshape(-1)
-
-        # loss pass (fresh dropout draw, carries the gradient)
+        # loss pass (fresh dropout draw, carries the gradient) over every
+        # (pos_j, neg_k) pairing per user — computed broadcasted instead of
+        # materializing the B*P*K expanded index arrays the reference
+        # builds (advanced_sampling.py:66-69): identical math, ~4x fewer
+        # embedding-row gathers
         users_repr, items_repr = self.representation(
             params, training=True, dropout_key=k_loss)
-        u_emb = users_repr[e_users]
-        pos_scores = (u_emb * items_repr[e_pos]).sum(axis=-1)
-        neg_scores = (u_emb[:, None, :]
-                      * items_repr[e_negs]).sum(axis=-1)     # (N, 1)
-        l_bpr = bpr_loss(pos_scores, neg_scores, e_mask)
-        l_reg = reg_loss(params['user_emb'], params['item_emb'],
-                         e_users, e_pos, e_negs, e_mask, self.reg_lambda)
+        l_bpr, l_reg = self._expanded_loss(
+            params, users_repr, items_repr, users, pos, negs, mask,
+            neg_valid)
         return l_bpr + l_reg, {'bpr': l_bpr, 'reg': l_reg}
+
+    def _expanded_loss(self, params, users_repr, items_repr, users, pos,
+                       negs, mask, neg_valid):
+        """BPR + reg over the (B, P, K) pairing grid, equal to running the
+        base losses on the flat expanded batch."""
+        p, k = pos.shape[1], negs.shape[1]
+        u_emb = users_repr[users]                         # (B, d)
+        pos_s = jnp.einsum('bd,bpd->bp', u_emb, items_repr[pos])
+        neg_s = jnp.einsum('bd,bkd->bk', u_emb, items_repr[negs])
+        diff = jax.nn.selu(neg_s[:, None, :] - pos_s[:, :, None])
+        pair_mask = jnp.broadcast_to(
+            mask[:, None, None] & neg_valid[:, None, :], diff.shape)
+        denom = jnp.maximum(pair_mask.sum(), 1.0)
+        l_bpr = jnp.where(pair_mask, diff, 0.0).sum() / denom
+
+        # reg: each expanded row contributes its user/pos/neg layer-0
+        # squared norms; per-user pair multiplicities replace the repeat
+        m = mask.astype(jnp.float32)
+        kv = neg_valid.sum(axis=1).astype(jnp.float32)    # valid negs/user
+        u_sq = (jnp.square(params['user_emb'][users]).sum(1)
+                * m * p * kv).sum()
+        p_sq = (jnp.square(params['item_emb'][pos]).sum(2).sum(1)
+                * m * kv).sum()
+        n_sq = ((jnp.square(params['item_emb'][negs]).sum(2)
+                 * neg_valid).sum(1) * m * p).sum()
+        l_reg = self.reg_lambda * (u_sq + p_sq + n_sq) / denom / 2.0
+        return l_bpr, l_reg
