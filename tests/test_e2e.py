@@ -107,3 +107,21 @@ def test_single_layer_combination(tmp_path, dummy_dir):
     trainer = Trainer(cfg, model, data)
     trainer.fit()
     assert len(trainer.metrics_logger['recall']) >= 1
+
+
+def test_load_across_table_paddings(trained, tmp_path, dummy_dir):
+    """A checkpoint saved with unpadded tables loads into a model whose
+    backend pads tables (and vice versa): common rows overlay, padding
+    rows keep their init (regression: xla-trained -> pallas model)."""
+    cfg, data, model, trainer = trained
+    padded = data.padded_to(64)
+    cfg2 = make_cfg(tmp_path, dummy_dir, uid='padload')
+    model2 = LightGCN(cfg2, padded)
+    trainer2 = Trainer(cfg2, model2, padded)
+    before_pad_rows = np.asarray(trainer2.params['user_emb'])[data.n_users:]
+    trainer2.load(cfg.save_path)
+    got = np.asarray(trainer2.params['user_emb'])
+    want = np.asarray(trainer.params['user_emb'])
+    np.testing.assert_array_equal(got[:data.n_users],
+                                  want[:data.n_users])
+    np.testing.assert_array_equal(got[data.n_users:], before_pad_rows)

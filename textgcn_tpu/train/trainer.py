@@ -297,10 +297,22 @@ class Trainer:
         Supports the ``--load_base`` warm-start flow (reference
         ``ltr_models.py:66-68``): a plain LightGCN checkpoint loaded into an
         LTR model only carries the embedding tables; head params keep their
-        fresh init.
+        fresh init.  Tables saved under a different row padding (backends
+        pad to different multiples — mesh size, pallas 4096) overlay their
+        common rows; the current padding rows are preserved.
         """
         merged = dict(current)
         for k, v in loaded.items():
-            if k in merged:
+            if k not in merged:
+                continue
+            cur = merged[k]
+            if (hasattr(cur, 'ndim') and hasattr(v, 'ndim')
+                    and cur.ndim == 2 and v.ndim == 2
+                    and cur.shape != v.shape
+                    and cur.shape[1] == v.shape[1]):
+                n = min(cur.shape[0], v.shape[0])
+                merged[k] = jnp.asarray(cur).at[:n].set(
+                    jnp.asarray(v)[:n])
+            else:
                 merged[k] = v
         return merged
