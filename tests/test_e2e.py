@@ -125,3 +125,54 @@ def test_load_across_table_paddings(trained, tmp_path, dummy_dir):
     np.testing.assert_array_equal(got[:data.n_users],
                                   want[:data.n_users])
     np.testing.assert_array_equal(got[data.n_users:], before_pad_rows)
+
+
+def test_nan_guard_fires_on_first_epoch(tmp_path, dummy_dir):
+    """The NaN guard aborts within one epoch of a NaN loss (the reference
+    asserts per batch, base_model.py:123; with whole-epoch jit the
+    granularity is one epoch, checked every epoch — not every eval)."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(tmp_path, dummy_dir, epochs=50, evaluate_every=25,
+                   save=False)
+    data = load_interactions(cfg.data)
+    model = LightGCN(cfg, data)
+    trainer = Trainer(cfg, model, data)
+
+    calls = []
+
+    def poisoned_epoch(params, opt_state, key):
+        calls.append(1)
+        comps = {c: jnp.float32(0.0) for c in trainer.loss_components}
+        return params, opt_state, {
+            **comps, 'loss': jnp.float32(float('nan')),
+            'nan': jnp.asarray(True)}
+
+    trainer._epoch_fn = poisoned_epoch
+    with pytest.raises(AssertionError, match='loss is NA at epoch 1'):
+        trainer.fit()
+    # pipelined one epoch deep: at most 2 epochs dispatched before abort
+    assert len(calls) <= 2
+
+
+def test_trainer_logs_all_loss_components(tmp_path, dummy_dir, caplog):
+    """Text models report bpr / sem / reg as separate running sums
+    (reference text_base_model.py:34-35)."""
+    import logging as _logging
+
+    from textgcn_tpu.data.text import load_ltr_data
+    from textgcn_tpu.models.text_loss import TextModel
+
+    cfg = make_cfg(tmp_path, dummy_dir, model='text', epochs=2,
+                   evaluate_every=2, save=False)
+    data = load_ltr_data(cfg)
+    model = TextModel(cfg, data)
+    trainer = Trainer(cfg, model, data)
+    assert trainer.loss_components == ('bpr', 'sem', 'reg')
+    with caplog.at_level(_logging.INFO, logger='textgcn_tpu'):
+        trainer.fit()
+    epoch_lines = [r.message for r in caplog.records
+                   if r.message.startswith('Epoch ')]
+    assert any('sem = ' in m and 'bpr = ' in m and 'reg = ' in m
+               for m in epoch_lines)
+    assert any('examples/s' in m for m in epoch_lines)

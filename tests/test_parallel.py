@@ -142,3 +142,15 @@ def test_sharded_representation_matches_single(dummy_dir, mesh, rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(i_m)[:ni], np.asarray(i_s)[:ni],
                                atol=1e-5)
+
+
+def test_auto_shape_model_axis_is_power_of_two():
+    """Auto mesh shapes keep the model axis a power of two so it always
+    divides the pallas backend's power-of-two table padding."""
+    from textgcn_tpu.parallel.mesh import _auto_shape
+
+    for n in (1, 2, 3, 4, 6, 8, 9, 12, 16, 24, 32, 9 * 9):
+        data, model = _auto_shape(n)
+        assert data * model == n
+        assert model & (model - 1) == 0, (n, model)
+        assert model * model <= n

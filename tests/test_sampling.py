@@ -74,3 +74,49 @@ def test_sampling_is_seeded(dummy_data):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert any(not np.array_equal(np.asarray(x), np.asarray(y))
                for x, y in zip(a, c))
+
+
+def test_fallback_never_emits_positive_for_dense_user():
+    """A user owning a long contiguous run of item ids (denser than the
+    catalog minus one) forces the rejection fallback; the exact complement
+    bisection must return the single valid negative, never a positive."""
+    n_items = 100
+    # user 0 owns items 0..98 (contiguous run); only valid negative is 99
+    deg = n_items - 1
+    pos_padded = np.full((2, deg), n_items, np.int32)
+    pos_padded[0, :] = np.arange(deg)
+    pos_padded[1, :3] = [1, 5, 7]
+    pos_degree = np.asarray([deg, 3], np.int32)
+    for seed in range(6):
+        users, pos, negs = sample_epoch(
+            jax.random.key(seed), jnp.asarray(pos_padded),
+            jnp.asarray(pos_degree), bucket_len=8, neg_samples=2,
+            n_items=n_items)
+        users, negs = np.asarray(users), np.asarray(negs)
+        assert (negs[users == 0] == deg).all(), \
+            'dense user got a positive as negative'
+        u1 = negs[users == 1].ravel()
+        assert not np.isin(u1, [1, 5, 7]).any()
+        assert ((negs >= 0) & (negs < n_items)).all()
+
+
+def test_fallback_is_uniform_over_complement():
+    """The bisection fallback draws uniformly from the complement set."""
+    from textgcn_tpu.ops import sampling as S
+    n_items = 64
+    deg = 60  # positives 0..59 -> complement {60, 61, 62, 63}
+    pos_padded = np.full((1, deg), n_items, np.int32)
+    pos_padded[0, :] = np.arange(deg)
+    pos_degree = np.asarray([deg], np.int32)
+    draws = []
+    for seed in range(30):
+        _, _, negs = sample_epoch(
+            jax.random.key(seed), jnp.asarray(pos_padded),
+            jnp.asarray(pos_degree), bucket_len=16, neg_samples=1,
+            n_items=n_items)
+        draws.append(np.asarray(negs).ravel())
+    draws = np.concatenate(draws)
+    assert (draws >= deg).all()
+    counts = np.bincount(draws - deg, minlength=4)
+    # 480 draws over 4 items: each should be well-populated
+    assert (counts > 60).all(), counts

@@ -96,17 +96,18 @@ def test_reviews_pos_user_lookup(dummy_dir):
     data = load_ltr_data(cfg)
     model = TextModelReviews(cfg, data, pos='user')
 
-    # pick a known train review pair
-    item = int(data.review_pair_keys[0] // data.n_users)
-    user = int(data.review_pair_keys[0] % data.n_users)
-    vec = model._item_reviews_user(jnp.asarray([item]), jnp.asarray([user]))
-    np.testing.assert_allclose(np.asarray(vec)[0],
-                               data.review_pair_vectors[0], atol=1e-6)
-    # an impossible pair gives zeros
+    # every known train review pair resolves to its own vector
+    items = jnp.asarray(data.review_pair_items)
+    users = jnp.asarray(data.review_pair_users)
+    vecs = model._item_reviews_user(items, users)
+    np.testing.assert_allclose(np.asarray(vecs),
+                               data.review_pair_vectors, atol=1e-6)
+    # an absent pair gives zeros
     vec0 = model._item_reviews_user(jnp.asarray([data.n_items - 1]),
                                     jnp.asarray([data.n_users - 1]))
-    if (data.review_pair_keys != (data.n_items - 1) * data.n_users
-            + data.n_users - 1).all():
+    known = ((data.review_pair_items == data.n_items - 1)
+             & (data.review_pair_users == data.n_users - 1)).any()
+    if not known:
         assert np.abs(np.asarray(vec0)).sum() == 0.0
 
     # the model trains with the pair representation
@@ -146,3 +147,29 @@ def test_k_too_large_raises(dummy_dir):
     model = LightGCN(cfg, data)
     with _pytest.raises(AssertionError, match='less than number of items'):
         Trainer(cfg, model, data)
+
+
+def test_boosted_checkpoint_roundtrip(dummy_dir, tmp_path, monkeypatch):
+    """gbdt runs honor the latest/best contract: params + fitted tree are
+    persisted and restored."""
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    tr = main(['--model', 'gbdt', '--data', str(dummy_dir),
+               '--batch_size', '16', '--emb_size', '16',
+               '-k', '3', '--uid', 'gbdt_save'])
+    run_dir = tr.cfg.save_path
+    assert os.path.exists(os.path.join(run_dir, 'latest_checkpoint.pkl'))
+    assert os.path.exists(os.path.join(run_dir, 'best.pkl'))
+    assert os.path.exists(os.path.join(run_dir, 'tree.pkl'))
+
+    tr2 = main(['--model', 'gbdt', '--data', str(dummy_dir),
+                '--batch_size', '16', '--emb_size', '16',
+                '-k', '3', '--uid', 'gbdt_load', '--no_train',
+                '--load', run_dir, '--no_save'])
+    assert tr2.model._tree_fitted
+    # the restored ensemble scores identically
+    import numpy as np
+    p1 = tr.predict(range(3))
+    p2 = tr2.predict(range(3))
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))

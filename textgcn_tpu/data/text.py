@@ -132,10 +132,14 @@ class LTRData(InteractionData):
     popularity_items: np.ndarray = None       # (n_items, 1)
     text_dim: int = 0
     # per-(item, user) review vectors for the pos='user' text
-    # representation (reference reviews_models.py:60,139-142): sorted
-    # composite keys item*n_users+user with aligned vectors; lookup by
-    # searchsorted, missing pairs -> zeros
-    review_pair_keys: np.ndarray = None       # (n_reviews,) int64 sorted
+    # representation (reference reviews_models.py:60,139-142), stored as
+    # int32-safe parallel arrays sorted lexicographically by (item, user)
+    # with a per-item row pointer — no composite int64 key, so the lookup
+    # cannot wrap however large n_items * n_users gets (JAX truncates
+    # int64 to int32 when x64 is off).  Missing pairs -> zeros.
+    review_pair_items: np.ndarray = None      # (n_reviews,) int32 sorted
+    review_pair_users: np.ndarray = None      # (n_reviews,) int32
+    review_pair_item_ptr: np.ndarray = None   # (n_items + 1,) int32
     review_pair_vectors: np.ndarray = None    # (n_reviews, D)
 
 
@@ -242,10 +246,13 @@ def load_ltr_data(cfg: Config, popularity_mode: str = 'fixed') -> LTRData:
     pop_i = _popularity(reviews, 'asin', base.n_items, popularity_mode)
 
     # (item, user) -> review-vector lookup over the train-retained reviews
-    pair_keys = (reviews['asin'].to_numpy(np.int64) * base.n_users
-                 + reviews['user_id'].to_numpy(np.int64))
-    order = np.argsort(pair_keys)
-    pair_keys = pair_keys[order]
+    pair_items = reviews['asin'].to_numpy(np.int32)
+    pair_users = reviews['user_id'].to_numpy(np.int32)
+    order = np.lexsort((pair_users, pair_items))
+    pair_items = pair_items[order]
+    pair_users = pair_users[order]
+    pair_item_ptr = np.searchsorted(
+        pair_items, np.arange(base.n_items + 1)).astype(np.int32)
     pair_vectors = vectors[reviews['_vec_row'].to_numpy()[order]] \
         .astype(np.float32)
 
@@ -257,7 +264,9 @@ def load_ltr_data(cfg: Config, popularity_mode: str = 'fixed') -> LTRData:
         users_as_avg_reviews=users_as_avg_reviews,
         users_as_avg_desc=users_as_avg_desc,
         popularity_users=pop_u, popularity_items=pop_i, text_dim=dim,
-        review_pair_keys=pair_keys, review_pair_vectors=pair_vectors,
+        review_pair_items=pair_items, review_pair_users=pair_users,
+        review_pair_item_ptr=pair_item_ptr,
+        review_pair_vectors=pair_vectors,
     )
 
 

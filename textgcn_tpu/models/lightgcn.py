@@ -29,6 +29,10 @@ from .losses import bpr_loss, reg_loss
 class LightGCN:
     """Static model definition; holds config + device graph arrays."""
 
+    # per-step loss components logged as separate running sums by the
+    # Trainer (reference ``base_model.py:115,131``)
+    loss_components = ('bpr', 'reg')
+
     def __init__(self, cfg: Config, data: InteractionData):
         self.cfg = cfg
         self.n_users = data.n_users

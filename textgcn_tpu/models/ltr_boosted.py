@@ -148,12 +148,36 @@ class BoostedTrainer:
 
     def load(self, path):
         self.inner.load(path)
+        # restore a previously fitted tree ensemble when present (saved
+        # next to the params checkpoint by ``checkpoint`` below)
+        import os
+        import pickle
+        d = path if os.path.isdir(path) else os.path.dirname(path)
+        tree_path = os.path.join(d, 'tree.pkl')
+        if os.path.exists(tree_path):
+            with open(tree_path, 'rb') as f:
+                self.model.tree = pickle.load(f)
+            self.model._tree_fitted = True
+            log.info('Restored fitted tree ensemble from %s', tree_path)
 
     def fit(self):
         importances = self.model.fit_trees(
             self.inner.params, self.data.pos_padded, self.data.pos_degree)
         log.info('feature importances: %s', importances)
         self.evaluate()
+        self.checkpoint()
+
+    def checkpoint(self, epoch: int = 1):
+        """Persist params via the inner Trainer's latest/best contract plus
+        the fitted tree ensemble (the reference's tree heads never reach
+        ``checkpoint``; here ``save=True`` keeps its meaning)."""
+        if not self.cfg.save:
+            return
+        self.inner.checkpoint(epoch)
+        import os
+        import pickle
+        with open(os.path.join(self.cfg.save_path, 'tree.pkl'), 'wb') as f:
+            pickle.dump(self.model.tree, f)
 
     def predict(self, users, save: bool = False, with_scores: bool = False):
         """Ranked items through the tree scorer (the inner Trainer's

@@ -66,6 +66,10 @@ WEIGHT_FORMULAS = {
 class TextLossModel(LightGCN):
     """Abstract: subclasses define pos/neg item text representations."""
 
+    # semantic loss logged as its own running component (reference keeps a
+    # separate `sem` sum, ``text_base_model.py:34-35``)
+    loss_components = ('bpr', 'sem', 'reg')
+
     def __init__(self, cfg, data, *, weight: str = '1',
                  distance: str = '|b-g|', dist_fn: str = 'euclid'):
         super().__init__(cfg, data)
@@ -115,7 +119,8 @@ class TextLossModel(LightGCN):
                 mask) / n_negs
         l_reg = reg_loss(params['user_emb'], params['item_emb'],
                          users, pos, negs, mask, self.reg_lambda)
-        return l_bpr + l_sem + l_reg, {'bpr': l_bpr, 'reg': l_sem + l_reg}
+        return l_bpr + l_sem + l_reg, {'bpr': l_bpr, 'sem': l_sem,
+                                       'reg': l_reg}
 
 
 class TextModelKG(TextLossModel):
@@ -142,18 +147,44 @@ class TextModelReviews(TextLossModel):
         self.items_as_avg_reviews = jnp.asarray(data.items_as_avg_reviews)
         self.pos_mode = pos
         if pos == 'user':
-            self._pair_keys = jnp.asarray(data.review_pair_keys)
+            import numpy as np
+            self._pair_users = jnp.asarray(data.review_pair_users)
+            self._pair_item_ptr = jnp.asarray(data.review_pair_item_ptr)
             self._pair_vectors = jnp.asarray(data.review_pair_vectors)
+            seg = np.diff(np.asarray(data.review_pair_item_ptr))
+            longest = int(seg.max()) if seg.size else 0
+            self._pair_bisect_iters = max(1, longest.bit_length())
 
     def _item_reviews_user(self, items, users):
         """Vector of the (item, user) review; zeros when the pair has no
         train review (reference indexes the pandas MultiIndex,
-        ``reviews_models.py:139-142``)."""
-        key = items.astype(jnp.int64) * self.n_users \
-            + users.astype(jnp.int64)
-        idx = jnp.searchsorted(self._pair_keys, key)
-        idx = jnp.clip(idx, 0, self._pair_keys.shape[0] - 1)
-        found = (self._pair_keys[idx] == key)[:, None]
+        ``reviews_models.py:139-142``).
+
+        int32-safe lookup: the per-item row-pointer bounds the search to
+        the item's user segment, then a fixed-depth bisection finds the
+        user — no ``item * n_users + user`` composite key, which would
+        silently wrap once ``n_items * n_users`` exceeds 2^31 (JAX
+        truncates int64 to int32 when x64 is off).
+        """
+        lo = self._pair_item_ptr[items]
+        hi = self._pair_item_ptr[items + 1]
+        end = hi
+        pu = self._pair_users
+        last = pu.shape[0] - 1
+
+        def step(carry, _):
+            lo, hi = carry
+            mid = (lo + hi) // 2
+            v = pu[jnp.clip(mid, 0, last)]
+            less = (v < users) & (lo < hi)
+            new_lo = jnp.where(less, mid + 1, lo)
+            new_hi = jnp.where((lo < hi) & ~less, mid, hi)
+            return (new_lo, new_hi), None
+
+        (lo, _), _ = jax.lax.scan(step, (lo, hi), None,
+                                  length=self._pair_bisect_iters)
+        idx = jnp.clip(lo, 0, last)
+        found = ((lo < end) & (pu[idx] == users))[:, None]
         return jnp.where(found, self._pair_vectors[idx], 0.0)
 
     def pos_items_reprs(self, items, users):

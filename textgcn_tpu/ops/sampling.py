@@ -18,7 +18,9 @@ bucket via a python set; we draw independently with a fixed number of
 rejection rounds (static shapes for XLA).  For real catalogs the collision
 probability is ~deg/n_items per draw, so after ``REJECTION_ROUNDS`` redraws
 the residual positive-collision probability is negligible; any survivor is
-resolved deterministically by stepping to the next non-positive item.
+resolved by an **exact uniform draw from the user's complement set** via
+rank bisection (see ``sample_epoch``), so a returned "negative" is never a
+positive regardless of the user's degree or id layout.
 """
 
 from __future__ import annotations
@@ -72,18 +74,33 @@ def sample_epoch(key, pos_padded, pos_degree, *, bucket_len: int,
     keys = jax.random.split(k_neg, REJECTION_ROUNDS)
     (cand, bad), _ = jax.lax.scan(body, (cand0, bad0), keys)
 
-    # deterministic fallback for the (vanishingly rare) survivors: walk
-    # forward modulo n_items until off the positive set.  max_degree steps
-    # suffice because positives are sorted and < n_items.
-    def fix_body(carry, _):
-        cand, bad = carry
-        cand = jnp.where(bad, (cand + 1) % n_items, cand)
-        bad = bad & jax.vmap(_is_positive)(pos_padded[users], cand)
-        return (cand, bad), None
+    # exact fallback for the (vanishingly rare) survivors: draw the r-th
+    # item of the user's complement set directly.  g(x) = (x + 1) -
+    # |positives <= x| counts non-positives in [0, x] and is nondecreasing,
+    # so the smallest x with g(x) = r + 1 is the r-th non-positive item —
+    # found by bisection in ceil(log2(n_items)) vectorized steps.  (A
+    # capped linear walk was used before; it could emit a positive for a
+    # user owning a long contiguous run of item ids.)
+    pp = pos_padded[users]
+    n_free = jnp.maximum(n_items - pos_degree[users], 1)
+    r = (jax.random.randint(k_fix, cand.shape, 0, 1 << 30)
+         % n_free[:, None]).astype(jnp.int32)
 
-    max_fix = pos_padded.shape[1]
-    (cand, bad), _ = jax.lax.scan(fix_body, (cand, bad),
-                                  None, length=min(max_fix, 64))
+    def bis_body(carry, _):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        n_pos_le = jax.vmap(
+            lambda row, x: jnp.searchsorted(row, x, side='right'))(pp, mid)
+        right = (mid + 1 - n_pos_le.astype(jnp.int32)) < r + 1
+        return (jnp.where(right, mid + 1, lo),
+                jnp.where(right, hi, mid)), None
+
+    lo0 = jnp.zeros_like(cand)
+    hi0 = jnp.full_like(cand, n_items - 1)
+    n_bis = max(1, int(n_items - 1).bit_length())
+    (complement, _), _ = jax.lax.scan(bis_body, (lo0, hi0), None,
+                                      length=n_bis)
+    cand = jnp.where(bad, complement, cand)
 
     perm = jax.random.permutation(k_perm, n)
     return users[perm], pos[perm], cand[perm]

@@ -19,8 +19,6 @@ chooses the all-gather/psum/all-to-all schedule over ICI.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -31,11 +29,15 @@ MODEL_AXIS = 'model'
 
 def _auto_shape(n: int) -> tuple[int, int]:
     """Split n devices into (data, model): model gets the largest
-    power-of-two divisor <= sqrt(n); data gets the rest."""
+    power-of-two divisor <= sqrt(n); data gets the rest.
+
+    Power-of-two only: the pallas backend pads tables to power-of-two
+    multiples (4096), so a non-power-of-two model axis (e.g. 3 on a
+    9-device mesh) would not divide the table padding evenly.
+    """
     best = 1
-    for m in range(1, int(math.isqrt(n)) + 1):
-        if n % m == 0:
-            best = m
+    while n % (best * 2) == 0 and (best * 2) ** 2 <= n:
+        best *= 2
     return (n // best, best)
 
 

@@ -107,6 +107,7 @@ class Trainer:
 
     def _make_epoch_fn(self, n_batches: int):
         model, cfg = self.model, self.cfg
+        comps = self.loss_components
 
         batch_sh = None
         if self.mesh is not None:
@@ -132,12 +133,14 @@ class Trainer:
                 updates, opt_state = self.optimizer.update(
                     grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, aux['bpr'], aux['reg'])
+                return (params, opt_state), (loss,
+                                             *(aux[c] for c in comps))
 
-            (params, opt_state), (losses, bprs, regs) = jax.lax.scan(
+            (params, opt_state), (losses, *comp_vals) = jax.lax.scan(
                 step, (params, opt_state), (*batches, drop_keys))
-            sums = {'loss': losses.sum(), 'bpr': bprs.sum(),
-                    'reg': regs.sum(), 'nan': jnp.isnan(losses).any()}
+            sums = {c: v.sum() for c, v in zip(comps, comp_vals)}
+            sums['loss'] = losses.sum()
+            sums['nan'] = jnp.isnan(losses).any()
             return params, opt_state, sums
 
         return jax.jit(epoch, donate_argnums=(0, 1))
@@ -174,6 +177,34 @@ class Trainer:
     # ------------------------------------------------------------------
     # public API
 
+    @property
+    def loss_components(self) -> tuple[str, ...]:
+        """Loss components the model reports per step (reference logs each
+        running sum separately — ``base_model.py:115,131``,
+        ``text_base_model.py:34-35``)."""
+        return tuple(getattr(self.model, 'loss_components', ('bpr', 'reg')))
+
+    def _finish_epoch(self, epoch: int, sums) -> dict:
+        """Fetch one epoch's loss sums, guard for NaN, and log progress.
+
+        The reference asserts on NaN loss every batch
+        (``base_model.py:123``); here the whole epoch runs in one jitted
+        call, so the check is per epoch — ``fit`` pipelines the fetch one
+        epoch deep so the sync overlaps the next epoch's device execution.
+        """
+        sums = jax.device_get(sums)
+        assert not sums['nan'], f'loss is NA at epoch {epoch}'
+        self._step_timer.tick()
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug('Epoch %d: %s (%.2fs/epoch)', epoch,
+                      self._format_components(sums),
+                      self._step_timer.mean_s)
+        return sums
+
+    def _format_components(self, sums) -> str:
+        return ' '.join(f'{c} = {sums[c]:.4f}'
+                        for c in self.loss_components)
+
     def fit(self):
         """Train for cfg.epochs with periodic eval/checkpoint/early-stop
         (reference ``base_model.py:108-139``)."""
@@ -182,24 +213,38 @@ class Trainer:
         if self._epoch_fn is None:
             self._epoch_fn = self._make_epoch_fn(n_batches)
 
+        from ..utils.profiling import StepTimer
+        self._step_timer = StepTimer(window=max(cfg.evaluate_every, 1))
+        self._step_timer.start()
+        epoch_examples = n_batches * cfg.batch_size
         t0 = time.time()
+        pending = None  # (epoch, un-fetched device sums)
         stopped = False
         for epoch in range(1, cfg.epochs + 1):
             self.key, ek = jax.random.split(self.key)
             self.params, self.opt_state, sums = self._epoch_fn(
                 self.params, self.opt_state, ek)
+            # per-epoch NaN guard, pipelined: fetch epoch-1's sums while
+            # this epoch runs on device
+            if pending is not None:
+                self._finish_epoch(*pending)
+            pending = (epoch, sums)
             if epoch % cfg.evaluate_every:
                 continue
-            sums = jax.device_get(sums)
-            assert not sums['nan'], f'loss is NA at epoch {epoch}'
-            log.info('Epoch %d: bpr = %.4f reg = %.4f (%.1fs)',
-                     epoch, sums['bpr'], sums['reg'], time.time() - t0)
+            sums = self._finish_epoch(*pending)
+            pending = None
+            eps = (epoch_examples / self._step_timer.mean_s
+                   if self._step_timer.mean_s else 0.0)
+            log.info('Epoch %d: %s (%.0f examples/s, %.1fs)', epoch,
+                     self._format_components(sums), eps, time.time() - t0)
             self.evaluate(epoch)
             self.checkpoint(epoch)
             if metrics_mod.early_stop(self.metrics_logger):
                 log.warning('Early stopping triggerred at epoch %d', epoch)
                 stopped = True
                 break
+        if pending is not None:
+            self._finish_epoch(*pending)
         if not stopped:
             self.checkpoint(cfg.epochs)
 
