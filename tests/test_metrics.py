@@ -80,3 +80,39 @@ def test_early_stop_mixed_metrics():
     base = _hist([[0.3], [0.2], [0.1]])
     base['ndcg'] = np.array([[0.1], [0.2], [0.3]])
     assert not early_stop(base)
+
+
+def test_membership_matches_bruteforce_random():
+    """Vectorized composite-key membership == per-user brute force."""
+    from textgcn_tpu.ops.metrics import _membership_matrix
+
+    rng = np.random.RandomState(3)
+    n, width, n_items = 200, 25, 500
+    y_pred = np.stack([rng.choice(n_items, width, replace=False)
+                       for _ in range(n)])
+    y_true = [sorted(rng.choice(n_items, rng.randint(1, 30),
+                                replace=False).tolist()) for _ in range(n)]
+    rel = _membership_matrix(y_pred, y_true)
+    brute = np.zeros_like(rel)
+    for u in range(n):
+        brute[u] = np.isin(y_pred[u], y_true[u])
+    np.testing.assert_array_equal(rel, brute)
+
+
+def test_metrics_fast_at_scale():
+    """100k test users x 40 preds computes in well under 2 s (the old
+    per-user loop was a host-side bottleneck at paper scale)."""
+    import time
+
+    from textgcn_tpu.ops.metrics import calculate_metrics
+
+    rng = np.random.RandomState(0)
+    n, n_items = 100_000, 50_000
+    y_pred = rng.randint(0, n_items, (n, 40))
+    degrees = rng.randint(1, 20, n)
+    y_true = [rng.randint(0, n_items, d).tolist() for d in degrees]
+    t0 = time.perf_counter()
+    res = calculate_metrics(y_pred, y_true, (20, 40))
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f'metrics took {dt:.2f}s'
+    assert all(np.isfinite(v).all() for v in res.values())

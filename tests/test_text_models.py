@@ -173,3 +173,54 @@ def test_boosted_checkpoint_roundtrip(dummy_dir, tmp_path, monkeypatch):
     p1 = tr.predict(range(3))
     p2 = tr2.predict(range(3))
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+@pytest.mark.parametrize('extra', [
+    ['--pos', 'user'],
+    ['--pos', 'kg'],
+    ['--neg', 'kg'],
+    ['--weight', 'max(p-n)', '--distance', 'selu(b-g)'],
+    ['--weight', 'max(p-n)_|g-b|'],     # reference combined form
+    ['--dist_fn', 'cosine_minus'],
+    ['--popularity_mode', 'compat'],
+])
+def test_text_knobs_reach_model_from_cli(extra, dummy_dir, tmp_path,
+                                         monkeypatch):
+    """Every text-family knob is reachable from the CLI (the reference's
+    flags are commented out of its parser, parser.py:146-159)."""
+    monkeypatch.chdir(tmp_path)
+    tr = run_cli(['--model', 'text', '--data', str(dummy_dir),
+                  '--epochs', '2', '--evaluate_every', '2',
+                  '--batch_size', '16', '--emb_size', '16',
+                  '-k', '3', '--uid', 'knob'] + extra)
+    assert np.isfinite(tr.metrics_logger['recall']).all()
+    model = tr.model
+    if extra[0] == '--pos':
+        assert model.pos_mode == extra[1]
+    if extra[0] == '--neg':
+        assert model.neg_mode == extra[1]
+    if extra[0] == '--dist_fn':
+        from textgcn_tpu.models.text_loss import DIST_FNS
+        assert model.dist_fn is DIST_FNS[extra[1]]
+    if extra == ['--weight', 'max(p-n)_|g-b|']:
+        from textgcn_tpu.models.text_loss import (DISTANCE_FORMULAS,
+                                                  WEIGHT_FORMULAS)
+        assert model.weight_formula is WEIGHT_FORMULAS['max(p-n)']
+        assert model.distance_formula is DISTANCE_FORMULAS['|g-b|']
+
+
+def test_popularity_compat_mode_reaches_data(dummy_dir, tmp_path,
+                                             monkeypatch):
+    """--popularity_mode compat yields the reference's literal (buggy)
+    popularity values, different from the fixed ones."""
+    from textgcn_tpu.config import parse_args
+    from textgcn_tpu.data.text import load_ltr_data
+
+    monkeypatch.chdir(tmp_path)
+    base_args = ['--model', 'ltr_pop', '--data', str(dummy_dir),
+                 '--no_save', '--uid', 'pop']
+    fixed = load_ltr_data(parse_args(base_args))
+    compat = load_ltr_data(parse_args(base_args
+                                      + ['--popularity_mode', 'compat']))
+    assert not np.array_equal(fixed.popularity_items,
+                              compat.popularity_items)

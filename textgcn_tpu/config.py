@@ -78,6 +78,20 @@ class Config:
     bert_model: str = 'all-MiniLM-L6-v2'
     sep: str = '[SEP]'
 
+    # --- text-loss family knobs (reference consumes these via
+    # ``text_base_model.py:15,22`` and ``reviews_models.py:121-128``; its
+    # parser has them commented out, ``parser.py:146-159`` — here they are
+    # first-class flags with the reference defaults) ---------------------------
+    weight: str = '1'             # semantic-loss weight formula (or the
+                                  # reference's combined '<weight>_<distance>')
+    distance: str = '|b-g|'       # semantic-loss distance formula
+    dist_fn: str = 'euclid'       # 'euclid' | 'cosine_minus'
+    pos: str = 'avg'              # positive-item text repr: user|avg|kg
+    neg: str = 'avg'              # negative-item text repr: avg|kg
+    popularity_mode: str = 'fixed'  # 'fixed' (true normalized counts) or
+                                    # 'compat' (reference's literal formula,
+                                    # SURVEY.md Q2)
+
     # --- misc --------------------------------------------------------------
     seed: int = 0
     reshuffle: bool = False
@@ -166,6 +180,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--emb_batch_size', type=int, default=d.emb_batch_size)
     p.add_argument('--bert_model', type=str, default=d.bert_model)
     p.add_argument('--separator', '--sep', dest='sep', type=str, default=d.sep)
+    p.add_argument('--weight', type=str, default=d.weight,
+                   help="semantic-loss weight formula; accepts the "
+                        "reference's combined '<weight>_<distance>' form")
+    p.add_argument('--distance', type=str, default=d.distance,
+                   help='semantic-loss distance formula, e.g. |b-g|')
+    p.add_argument('--dist_fn', default=d.dist_fn,
+                   choices=['euclid', 'cosine_minus'])
+    p.add_argument('--pos', default=d.pos, choices=['user', 'avg', 'kg'],
+                   help='text repr of positive items in sampled triplets')
+    p.add_argument('--neg', default=d.neg, choices=['avg', 'kg'],
+                   help='text repr of negative items in sampled triplets')
+    p.add_argument('--popularity_mode', default=d.popularity_mode,
+                   choices=['fixed', 'compat'])
     p.add_argument('--gpu', type=str, default='',
                    help='accepted for reference CLI compatibility; device '
                         'selection is owned by JAX (see --mesh)')
@@ -184,6 +211,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def parse_args(argv: list[str] | None = None) -> Config:
     ns = build_argparser().parse_args(argv)
+    # reference compat: '--weight max(p-n)_|b-g|' combines weight and
+    # distance in one flag, split on '_' (text_base_model.py:15)
+    weight, distance = ns.weight, ns.distance
+    if '_' in weight:
+        weight, distance = weight.split('_', 1)
     cfg = Config(
         model=ns.model, data=ns.data, uid=ns.uid, epochs=ns.epochs,
         emb_size=ns.emb_size, neg_samples=ns.neg_samples,
@@ -194,7 +226,9 @@ def parse_args(argv: list[str] | None = None) -> Config:
         load_base=ns.load_base, save=not ns.no_save, load=ns.load,
         no_train=ns.no_train, predict=ns.predict,
         emb_batch_size=ns.emb_batch_size, bert_model=ns.bert_model,
-        sep=ns.sep, seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
+        sep=ns.sep, weight=weight, distance=distance, dist_fn=ns.dist_fn,
+        pos=ns.pos, neg=ns.neg, popularity_mode=ns.popularity_mode,
+        seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
         use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,
     ).finalize()

@@ -188,9 +188,15 @@ def _mean_by_group(df: pd.DataFrame, group_col: str, vectors: np.ndarray,
     return out
 
 
-def load_ltr_data(cfg: Config, popularity_mode: str = 'fixed') -> LTRData:
+def load_ltr_data(cfg: Config,
+                  popularity_mode: str | None = None) -> LTRData:
     """Full LTR feature bundle (reference LTRDataset,
-    ``ltr_models.py:11-35`` + its KG/Reviews parents)."""
+    ``ltr_models.py:11-35`` + its KG/Reviews parents).
+
+    ``popularity_mode`` defaults to ``cfg.popularity_mode``
+    (``--popularity_mode fixed|compat``, SURVEY.md Q2)."""
+    if popularity_mode is None:
+        popularity_mode = getattr(cfg, 'popularity_mode', 'fixed')
     base = load_interactions(cfg.data, reshuffle=cfg.reshuffle,
                              seed=cfg.seed)
     items_as_desc = _load_kg_descriptions(base, cfg)

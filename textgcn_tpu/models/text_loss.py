@@ -70,9 +70,20 @@ class TextLossModel(LightGCN):
     # separate `sem` sum, ``text_base_model.py:34-35``)
     loss_components = ('bpr', 'sem', 'reg')
 
-    def __init__(self, cfg, data, *, weight: str = '1',
-                 distance: str = '|b-g|', dist_fn: str = 'euclid'):
+    def __init__(self, cfg, data, *, weight: str | None = None,
+                 distance: str | None = None,
+                 dist_fn: str | None = None):
+        """Knobs default to the config's flags (``--weight``,
+        ``--distance``, ``--dist_fn`` — the reference consumes these at
+        ``text_base_model.py:15,22`` but its parser comments them out);
+        explicit constructor args win."""
         super().__init__(cfg, data)
+        if weight is None:
+            weight = getattr(cfg, 'weight', '1')
+        if distance is None:
+            distance = getattr(cfg, 'distance', '|b-g|')
+        if dist_fn is None:
+            dist_fn = getattr(cfg, 'dist_fn', 'euclid')
         self.weight_formula = WEIGHT_FORMULAS[weight]
         self.distance_formula = DISTANCE_FORMULAS[distance]
         self.dist_fn = DIST_FNS[dist_fn]
@@ -142,9 +153,15 @@ class TextModelReviews(TextLossModel):
     ``pos='user'`` — by the review the sampled user wrote about the item
     (reference ``reviews_models.py:116-142``)."""
 
-    def __init__(self, cfg, data, pos: str = 'avg', **kw):
+    def __init__(self, cfg, data, pos: str | None = None, **kw):
         super().__init__(cfg, data, **kw)
         self.items_as_avg_reviews = jnp.asarray(data.items_as_avg_reviews)
+        if pos is None:
+            # reference: model 'reviews' always uses the mean repr; only
+            # the joint 'text' model honors --pos
+            # (reviews_models.py:121-124)
+            pos = getattr(cfg, 'pos', 'avg') \
+                if cfg.model != 'reviews' else 'avg'
         self.pos_mode = pos
         if pos == 'user':
             import numpy as np
@@ -198,7 +215,30 @@ class TextModelReviews(TextLossModel):
 
 class TextModel(TextModelReviews, TextModelKG):
     """Joint diamond (reference ``text_joint_model.py:9-10``): MRO picks
-    the reviews representation, KG tensors remain available."""
+    the reviews representation by default; ``--pos kg`` / ``--neg kg``
+    switch either side to the description reprs
+    (reference ``reviews_models.py:121-128``)."""
+
+    def __init__(self, cfg, data, pos: str | None = None,
+                 neg: str | None = None, **kw):
+        self.neg_mode = neg if neg is not None \
+            else getattr(cfg, 'neg', 'avg')
+        if pos is None and getattr(cfg, 'pos', 'avg') == 'kg':
+            # handled locally; the reviews parent only knows avg/user
+            super().__init__(cfg, data, pos='avg', **kw)
+            self.pos_mode = 'kg'
+        else:
+            super().__init__(cfg, data, pos=pos, **kw)
+
+    def pos_items_reprs(self, items, users):
+        if self.pos_mode == 'kg':
+            return self.items_as_desc[items]
+        return super().pos_items_reprs(items, users)
+
+    def neg_items_reprs(self, items, users):
+        if self.neg_mode == 'kg':
+            return self.items_as_desc[items]
+        return self.items_as_avg_reviews[items]
 
 
 def probe_text_representations(cfg, data, trainer) -> dict[str, dict]:

@@ -27,16 +27,30 @@ METRICS = ('recall', 'precision', 'hit', 'ndcg', 'f1')
 
 
 def _membership_matrix(y_pred: np.ndarray, y_true: list[list[int]]):
-    """rel[u, j] = 1 if y_pred[u, j] is in y_true[u]."""
+    """rel[u, j] = 1 if y_pred[u, j] is in y_true[u].
+
+    One searchsorted over (user, item) composite keys for the whole
+    prediction matrix — no per-user Python loop, so eval stays fast at
+    paper scale (100k+ test users).  Host-side numpy int64, no wrap risk.
+    """
+    import itertools
+
     n, width = y_pred.shape
-    rel = np.zeros((n, width), dtype=np.float64)
-    for u in range(n):
-        t = np.asarray(y_true[u])
-        t.sort()
-        idx = np.searchsorted(t, y_pred[u])
-        idx = np.clip(idx, 0, len(t) - 1)
-        rel[u] = t[idx] == y_pred[u]
-    return rel
+    lens = np.fromiter((len(t) for t in y_true), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((n, width), dtype=np.float64)
+    flat_true = np.fromiter(itertools.chain.from_iterable(y_true),
+                            dtype=np.int64, count=total)
+    stride = int(max(flat_true.max(), int(y_pred.max(initial=0)))) + 1
+    true_keys = np.repeat(np.arange(n, dtype=np.int64), lens) \
+        * stride + flat_true
+    true_keys.sort()
+    pred_keys = (np.arange(n, dtype=np.int64)[:, None] * stride
+                 + y_pred.astype(np.int64)).ravel()
+    idx = np.clip(np.searchsorted(true_keys, pred_keys), 0, total - 1)
+    return (true_keys[idx] == pred_keys).astype(np.float64) \
+        .reshape(n, width)
 
 
 def _dcg(rel: np.ndarray) -> np.ndarray:
