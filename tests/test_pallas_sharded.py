@@ -82,3 +82,67 @@ def test_mesh_pallas_dropout_deterministic_and_nontrivial(mesh, dummy_data,
                            dropout_key=jax.random.key(7))
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
     assert not np.allclose(np.asarray(u1), np.asarray(base_u))
+
+
+def test_supports_tables_beyond_single_chip_vmem():
+    """The flagship scaling scenario (VERDICT r1): tables too big for one
+    chip's VMEM budget still take the pallas path, because each device
+    holds only its 1/n_devices source slice."""
+    d = 64
+    budget = MeshPallasGraphOp.VMEM_X_BUDGET
+    n = 8 * 4096 * 2  # 65536 rows x 64 x 4B = 16 MB >> 6 MB budget
+    assert n * d * 4 > budget
+    assert MeshPallasGraphOp.supports(n, n, d, 8)
+    # per-device slice must still fit: 8x the budget per chip does not
+    assert not MeshPallasGraphOp.supports(8 * n * 8, n, d, 8)
+    # indivisible or misaligned row counts fall back
+    assert not MeshPallasGraphOp.supports(4096 + 512, 4096, d, 8)
+    assert not MeshPallasGraphOp.supports(8 * 320, 4096, d, 8)
+
+
+def test_mesh_pallas_sharded_source_larger_graph(mesh, rng):
+    """Source-sharded partitioning on a graph spanning several source
+    blocks per device, with skewed edge distribution: fwd + grad match the
+    XLA path."""
+    n_users, n_items, n_edges = 900, 1400, 4000
+    nu_t = -(-n_users // SRC_BLOCK) * SRC_BLOCK      # 1024
+    ni_t = -(-n_items // SRC_BLOCK) * SRC_BLOCK      # 1536
+    # skew: half the edges land on the first 5% of items
+    eu = rng.randint(0, n_users, n_edges).astype(np.int32)
+    hot = rng.randint(0, n_items // 20, n_edges // 2)
+    cold = rng.randint(0, n_items, n_edges - n_edges // 2)
+    ei = np.concatenate([hot, cold]).astype(np.int32)
+    pairs = np.unique(np.stack([eu, ei], 1), axis=0)
+    eu, ei = pairs[:, 0], pairs[:, 1]
+    w = rng.rand(len(eu)).astype(np.float32)
+
+    params = {
+        'user_emb': jnp.asarray(
+            np.pad(rng.randn(n_users, 8),
+                   ((0, nu_t - n_users), (0, 0))).astype(np.float32)),
+        'item_emb': jnp.asarray(
+            np.pad(rng.randn(n_items, 8),
+                   ((0, ni_t - n_items), (0, 0))).astype(np.float32)),
+    }
+    xla_op = BipartiteGraphOp(eu, ei, w, nu_t, ni_t)
+    mesh_op = MeshPallasGraphOp(eu, ei, w, nu_t, ni_t, 8, mesh,
+                                interpret=True)
+    # every device holds only its slice of the source rows
+    assert mesh_op.l_u2i.rows_per_dev == nu_t // 8
+    assert mesh_op.l_i2u.rows_per_dev == ni_t // 8
+
+    u1, i1 = representation(params, xla_op, 2, single=False)
+    u2, i2 = representation(params, mesh_op, 2, single=False)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(i1), atol=1e-4)
+
+    def loss(p, op):
+        u, i = representation(p, op, 2, single=False)
+        return (u * u).sum() + (i * i).sum()
+
+    g1 = jax.grad(lambda p: loss(p, xla_op))(params)
+    g2 = jax.grad(lambda p: loss(p, mesh_op))(params)
+    np.testing.assert_allclose(np.asarray(g2['user_emb']),
+                               np.asarray(g1['user_emb']), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2['item_emb']),
+                               np.asarray(g1['item_emb']), atol=1e-4)

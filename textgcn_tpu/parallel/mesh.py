@@ -107,26 +107,29 @@ def shard_model(mesh: Mesh, model, propagation: str = 'auto'):
 
     Propagation backend on the mesh:
 
-    * ``pallas`` — edge-partitioned Pallas kernel per device under
-      shard_map + psum (``parallel/pallas_sharded.py``); requires the
-      source tables to fit the per-chip VMEM budget.
+    * ``pallas`` — source-sharded, edge-partitioned Pallas kernel per
+      device under shard_map + psum (``parallel/pallas_sharded.py``);
+      each chip holds only its 1/n_devices slice of the source table, so
+      the fast kernel serves tables n_devices times the per-chip VMEM
+      budget.
     * ``xla`` — GSPMD-partitioned sorted-segment-sum (edge arrays
       explicitly sharded over the whole mesh).
     * ``auto`` — pallas when the single-chip backend already chose pallas
-      and both tables fit; xla otherwise.
+      and the per-device table slices divide evenly and fit VMEM; xla
+      otherwise.
     """
+    from .pallas_sharded import MeshPallasGraphOp
     eu, ei, w = model._edges
 
     fits = True
     if hasattr(model, 'cfg'):
-        budget = 6 * 1024 * 1024
-        row_bytes = model.cfg.emb_size * 4
-        fits = max(model.n_users_t, model.n_items_t) * row_bytes <= budget
+        fits = MeshPallasGraphOp.supports(
+            model.n_users_t, model.n_items_t, model.cfg.emb_size,
+            mesh.size)
     use_pallas = propagation == 'pallas' or (
         propagation == 'auto' and model.backend == 'pallas' and fits)
 
     if use_pallas:
-        from .pallas_sharded import MeshPallasGraphOp
         model.graph_op = MeshPallasGraphOp(
             eu, ei, w, model.n_users_t, model.n_items_t,
             model.cfg.emb_size, mesh)

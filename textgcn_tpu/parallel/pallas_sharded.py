@@ -1,20 +1,35 @@
-"""Edge-partitioned Pallas SpMM over a device mesh.
+"""Source-sharded, edge-partitioned Pallas SpMM over a device mesh.
 
-The multi-chip propagation path the single-chip kernel scales into: the
-edge set is partitioned across all mesh devices, every device runs the
-tiled one-hot SpMM kernel (``ops/pallas_spmm.py``) on its shard against a
-replicated source table, and partial outputs combine with one ``psum``
-over the mesh (the SpMM "halo exchange" of SURVEY.md §2.3 reduces to an
-all-reduce because LightGCN layers read the full frontier anyway).
+The multi-chip propagation path the single-chip kernel scales into — and
+the regime that motivates model parallelism: **tables that do not fit one
+chip's VMEM budget**.  Source-table rows are sharded over the flattened
+mesh; every device owns the contiguous row range
+``[k*R, (k+1)*R)`` (``R = n_src / n_devices``) plus exactly the edges whose
+source endpoint falls in that range.  Each device runs the tiled one-hot
+SpMM kernel (``ops/pallas_spmm.py``) on its edge shard against its local
+``R``-row table slice and the partial ``(n_dst, d)`` outputs combine with
+one ``psum`` over the mesh (the SpMM "halo exchange" of SURVEY.md §2.3
+reduces to an all-reduce because LightGCN layers read the full frontier
+anyway).  Per-chip VMEM holds only ``R`` source rows, so the fast kernel
+serves tables ``n_devices`` times larger than the single-chip budget.
 
 Implementation: per-device kernel layouts are built host-side from the
-edge partition, padded to identical shapes, stacked on a leading device
-axis, and sharded over the mesh; ``jax.shard_map`` removes the device axis
-so each chip sees exactly the single-chip kernel call.  Forward and
-backward use transpose-layout stacks via ``jax.custom_vjp`` like the
-single-chip op.  Source-table splitting is not supported here (tables must
-fit the per-chip VMEM budget); larger tables use the GSPMD segment-sum
-path selected by ``parallel.mesh.shard_model``.
+source-range edge partition (local source ids are ``src - k*R``), padded
+to identical shapes, stacked on a leading device axis, and sharded over
+the mesh; ``jax.shard_map`` removes the device axis so each chip sees
+exactly the single-chip kernel call on its slice.  The stacked
+``src_ids``/``dst_ids`` metadata keeps **global** ids so the in-kernel
+hash dropout draws identical per-edge masks in the forward and transpose
+directions.  Forward and backward use transpose-layout stacks via
+``jax.custom_vjp`` like the single-chip op.
+
+Source-range partitioning can be edge-imbalanced (popular rows); layouts
+are padded to the largest shard's group count, so skewed graphs idle the
+lighter devices rather than failing.  Requires the table row counts to be
+divisible by ``n_devices`` with a per-device range that is a multiple of
+128 (the mesh path pads tables to 4096, so any power-of-two mesh up to 32
+devices qualifies); ``parallel.mesh.shard_model`` gates on this and falls
+back to the GSPMD segment-sum path otherwise.
 """
 
 from __future__ import annotations
@@ -28,7 +43,13 @@ from ..ops import pallas_spmm as K
 
 
 class _StackedLayout:
-    """Per-device PallasDirection layouts stacked on a device axis."""
+    """Per-device PallasDirection layouts stacked on a device axis.
+
+    Edges are partitioned by **source row range**: device ``k`` gets the
+    edges with ``src in [k*R, (k+1)*R)``, with source ids rebased to the
+    device-local range.  ``src_ids``/``dst_ids`` stay global for the
+    order-independent dropout hash.
+    """
 
     def __init__(self, src, dst, w, n_src: int, n_dst: int, n_dev: int,
                  user_axis: str, src_block: int, dst_block: int):
@@ -36,24 +57,28 @@ class _StackedLayout:
         self.n_dst = int(n_dst)
         self.src_block = src_block
         self.dst_block = dst_block
-        # contiguous edge partition (edges are in canonical order; any
-        # partition works — partials psum)
-        bounds = np.linspace(0, len(src), n_dev + 1).astype(np.int64)
+        assert n_src % n_dev == 0, (n_src, n_dev)
+        rows_per_dev = n_src // n_dev
+        assert rows_per_dev % src_block == 0, (rows_per_dev, src_block)
+        self.rows_per_dev = rows_per_dev
         dirs = []
         for i in range(n_dev):
-            lo, hi = bounds[i], bounds[i + 1]
+            lo = i * rows_per_dev
+            sel = (src >= lo) & (src < lo + rows_per_dev)
             dirs.append(K.PallasDirection(
-                src[lo:hi], dst[lo:hi], w[lo:hi], n_src, n_dst,
+                src[sel] - lo, dst[sel], w[sel], rows_per_dev, n_dst,
                 src_block=src_block, dst_block=dst_block))
         self.n_src_padded = dirs[0].n_src_padded
         self.n_dst_blocks = dirs[0].n_dst_blocks
         self.max_groups = max(d.max_groups for d in dirs)
         max_g = max(d.n_groups for d in dirs)
 
-        def stack(attr, pad_value=0):
+        def stack(attr, pad_value=0, offsets=None):
             outs = []
-            for d in dirs:
+            for i, d in enumerate(dirs):
                 a = np.asarray(getattr(d, attr))
+                if offsets is not None:
+                    a = np.where(a >= 0, a + offsets[i], a)
                 pad = max_g - a.shape[0]
                 if pad:
                     a = np.concatenate(
@@ -65,7 +90,10 @@ class _StackedLayout:
         self.packed = stack('packed')
         self.w = stack('w')
         self.dst_ids = stack('dst_ids', -1)
-        self.src_ids = stack('src_ids', -1)
+        # rebase device-local source ids back to global for the hash
+        self.src_ids = stack(
+            'src_ids', -1,
+            offsets=[i * rows_per_dev for i in range(n_dev)])
         # chunk_sb is (n_groups*GROUP,); group_ptr is (n_blocks+1,)
         sbs, ptrs = [], []
         for d in dirs:
@@ -82,9 +110,25 @@ class _StackedLayout:
 
 
 class MeshPallasGraphOp:
-    """Drop-in for ``PallasGraphOp`` running the kernel per edge shard
-    under shard_map with a psum combine.  Same ``weights``/``to_user``/
-    ``to_item`` interface."""
+    """Drop-in for ``PallasGraphOp`` running the kernel on source-sharded
+    table slices under shard_map with a psum combine.  Same ``weights``/
+    ``to_user``/``to_item`` interface."""
+
+    # per-chip VMEM budget for the double-buffered source slice
+    VMEM_X_BUDGET = K.TiledSpMM.VMEM_X_BUDGET
+
+    @staticmethod
+    def supports(n_users_t: int, n_items_t: int, d: int,
+                 n_dev: int) -> bool:
+        """True when both tables row-shard evenly over ``n_dev`` with a
+        per-device slice that is 128-aligned and fits the VMEM budget."""
+        for n in (n_users_t, n_items_t):
+            if n % n_dev:
+                return False
+            rows = n // n_dev
+            if rows % 128 or rows * d * 4 > MeshPallasGraphOp.VMEM_X_BUDGET:
+                return False
+        return True
 
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, d: int, mesh,
@@ -97,11 +141,15 @@ class MeshPallasGraphOp:
         ei = np.asarray(edge_item)
         w = np.asarray(edge_weight, np.float32)
 
-        sb_i, db_i = K.plan_tile_blocks(len(eu), n_items_t, n_users_t)
-        sb_u, db_u = K.plan_tile_blocks(len(eu), n_users_t, n_items_t)
-        while n_items_t % sb_i:
+        rows_i = n_items_t // n_dev
+        rows_u = n_users_t // n_dev
+        sb_i, db_i = K.plan_tile_blocks(
+            max(len(eu) // n_dev, 1), rows_i, n_users_t)
+        sb_u, db_u = K.plan_tile_blocks(
+            max(len(eu) // n_dev, 1), rows_u, n_items_t)
+        while rows_i % sb_i:
             sb_i //= 2
-        while n_users_t % sb_u:
+        while rows_u % sb_u:
             sb_u //= 2
         self.l_i2u = _StackedLayout(ei, eu, w, n_items_t, n_users_t,
                                     n_dev, 'dst', sb_i, db_i)
@@ -111,7 +159,7 @@ class MeshPallasGraphOp:
         self._to_user = self._make_fn(self.l_i2u, self.l_u2i)
         self._to_item = self._make_fn(self.l_u2i, self.l_i2u)
 
-    # one shard_map'd partial-SpMM + psum
+    # one shard_map'd partial-SpMM over the local source slice + psum
     def _apply(self, layout, x, salt, keep):
         axes = self.axes
         interpret = self.interpret
@@ -138,7 +186,7 @@ class MeshPallasGraphOp:
             local, mesh=self.mesh,
             in_specs=(P(self.axes), P(self.axes), P(self.axes),
                       P(self.axes), P(self.axes), P(self.axes),
-                      P(), P(), P()),
+                      P(self.axes), P(), P()),
             out_specs=P(),
             check_vma=False)
         return fn(*layout.arrays()[:4], layout.dst_ids, layout.src_ids,
