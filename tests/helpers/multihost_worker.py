@@ -1,0 +1,119 @@
+"""Worker for the local 2-process jax.distributed test.
+
+Run as: python multihost_worker.py <process_id> <port> <shared_out_dir>
+
+Each process gets 2 virtual CPU devices (4 global), initializes through
+``multihost.maybe_initialize`` (env-var resolution path), then exercises:
+
+1. a sharded train step with the framework's real sharding conventions —
+   row-sharded embedding tables (``shard_params``), data-sharded batch,
+   GSPMD-inserted gradient psum;
+2. a cooperative Orbax save of the global sharded params + restore +
+   bit-equality;
+3. the primary-only guards on pickle checkpointing and predictions.tsv
+   export via a real (process-local) Trainer.
+
+Prints one final line ``MULTIHOST_OK pid=<p> loss=<loss>`` on success.
+"""
+
+import os
+import sys
+
+pid, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['TEXTGCN_TPU_TEXT_ENCODER'] = 'stub'
+os.environ['JAX_COORDINATOR_ADDRESS'] = f'127.0.0.1:{port}'
+os.environ['JAX_NUM_PROCESSES'] = '2'
+os.environ['JAX_PROCESS_ID'] = str(pid)
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+repo = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, repo)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from textgcn_tpu.parallel.multihost import (is_primary,  # noqa: E402
+                                            maybe_initialize)
+
+active = maybe_initialize()
+assert active, 'maybe_initialize did not activate the multi-process runtime'
+assert jax.process_count() == 2
+assert is_primary() == (pid == 0)
+
+from textgcn_tpu.parallel.mesh import (DATA_AXIS, make_mesh,  # noqa: E402
+                                       shard_params)
+
+mesh = make_mesh((2, 2))
+
+# --- 1. sharded step: row-sharded tables, data-sharded batch ---------------
+rng = np.random.RandomState(0)
+params = {'user_emb': jnp.asarray(rng.randn(64, 8).astype(np.float32)),
+          'item_emb': jnp.asarray(rng.randn(32, 8).astype(np.float32))}
+params = shard_params(mesh, params)
+batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+users = jax.device_put(np.arange(16, dtype=np.int32) % 64, batch_sh)
+pos = jax.device_put(np.arange(16, dtype=np.int32) % 32, batch_sh)
+neg = jax.device_put((np.arange(16, dtype=np.int32) * 7 + 3) % 32, batch_sh)
+
+
+@jax.jit
+def step(params, users, pos, neg):
+    def loss_fn(p):
+        u = p['user_emb'][users]
+        s_pos = (u * p['item_emb'][pos]).sum(-1)
+        s_neg = (u * p['item_emb'][neg]).sum(-1)
+        return jax.nn.selu(s_neg - s_pos).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return jax.tree.map(lambda a, g: a - 0.1 * g, params, grads), loss
+
+
+params, loss = step(params, users, pos, neg)
+loss = float(jax.device_get(loss))
+assert np.isfinite(loss)
+
+# --- 2. cooperative orbax save / restore -----------------------------------
+from textgcn_tpu.train.checkpoint import OrbaxCheckpointer  # noqa: E402
+
+ckptr = OrbaxCheckpointer()
+assert ckptr.cooperative
+ckpt_dir = os.path.join(out_dir, 'ckpt')
+ckptr.save_latest(ckpt_dir, {'params': params, 'epoch': 1})
+restored = ckptr.load(os.path.join(ckpt_dir, ckptr.latest_name))
+assert restored['epoch'] == 1
+for k in params:
+    diff = jax.jit(lambda a, b: jnp.abs(a - b).max())(
+        params[k], jnp.asarray(np.asarray(restored['params'][k])))
+    assert float(jax.device_get(diff)) == 0.0, k
+
+# --- 3. primary-only pickle / predictions guards on a real Trainer ---------
+import importlib.util  # noqa: E402
+
+spec = importlib.util.spec_from_file_location(
+    'graft_entry', os.path.join(repo, '__graft_entry__.py'))
+ge = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ge)
+
+from textgcn_tpu.train.trainer import Trainer  # noqa: E402
+
+my_dir = os.path.join(out_dir, f'trainer_p{pid}')
+cfg, data, model = ge._build(dict(save=True, save_path=my_dir))
+trainer = Trainer(cfg, model, data)
+trainer.evaluate()
+trainer.checkpoint(1)
+trainer.predict(range(4), save=True)
+wrote_ckpt = os.path.exists(os.path.join(my_dir, 'latest_checkpoint.pkl'))
+wrote_preds = os.path.exists(os.path.join(my_dir, 'predictions.tsv'))
+assert wrote_ckpt == (pid == 0), \
+    f'pickle checkpoint guard broken: pid={pid} wrote={wrote_ckpt}'
+assert wrote_preds == (pid == 0), \
+    f'predictions guard broken: pid={pid} wrote={wrote_preds}'
+
+print(f'MULTIHOST_OK pid={pid} loss={loss:.8f}', flush=True)

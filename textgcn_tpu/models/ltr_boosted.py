@@ -173,7 +173,10 @@ class BoostedTrainer:
         ``checkpoint``; here ``save=True`` keeps its meaning)."""
         if not self.cfg.save:
             return
+        from ..parallel.multihost import is_primary
         self.inner.checkpoint(epoch)
+        if not is_primary():
+            return
         import os
         import pickle
         with open(os.path.join(self.cfg.save_path, 'tree.pkl'), 'wb') as f:
@@ -201,7 +204,8 @@ class BoostedTrainer:
             scores.append(np.round(np.asarray(vals), 4))
         preds = np.concatenate(preds).tolist()
         scores = np.concatenate(scores).tolist()
-        if save:
+        from ..parallel.multihost import is_primary
+        if save and is_primary():
             import os
             import pandas as pd
             out = os.path.join(self.cfg.save_path, 'predictions.tsv')

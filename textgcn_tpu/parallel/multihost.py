@@ -17,6 +17,15 @@ Conventions:
 
 Failure recovery is restart-from-checkpoint: rerun the same command with
 ``--load runs/<...>`` after a host failure (reference has no counterpart).
+
+Verified behavior (tests/test_multihost.py, real 2-process run against a
+127.0.0.1 coordinator): env-var initialize, sharded step with the
+framework's sharding conventions, cooperative Orbax save/restore, and the
+primary-only pickle/prediction guards.  Known limit: the whole-epoch
+jitted Trainer closes over device-resident graph/positives arrays, which
+multi-controller JAX forbids spanning non-addressable devices — the full
+Trainer currently runs single-controller (one process per mesh); lifting
+that needs the graph-op arrays threaded as jit arguments.
 """
 
 from __future__ import annotations

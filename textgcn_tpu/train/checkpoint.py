@@ -22,10 +22,16 @@ log = logging.getLogger('textgcn_tpu')
 
 
 class PickleCheckpointer:
-    """Single-host backend; matches the reference's .pkl artifacts."""
+    """Single-host backend; matches the reference's .pkl artifacts.
+
+    Not cooperative: on a multi-process runtime only the primary host may
+    write (every host racing to the same .pkl corrupts it) — the Trainer
+    guards on this flag.
+    """
 
     latest_name = 'latest_checkpoint.pkl'
     best_name = 'best.pkl'
+    cooperative = False
 
     def save_latest(self, save_path: str, state: dict):
         os.makedirs(save_path, exist_ok=True)
@@ -46,10 +52,15 @@ class PickleCheckpointer:
 
 
 class OrbaxCheckpointer:
-    """Sharded backend for mesh runs (Orbax PyTreeCheckpointer)."""
+    """Sharded backend for mesh runs (Orbax PyTreeCheckpointer).
+
+    Cooperative: every process must participate in ``save`` (each writes
+    its own array shards), so the Trainer must NOT gate it on the primary.
+    """
 
     latest_name = 'latest_checkpoint.orbax'
     best_name = 'best.orbax'
+    cooperative = True
 
     def __init__(self):
         import orbax.checkpoint as ocp

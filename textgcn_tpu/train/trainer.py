@@ -285,7 +285,8 @@ class Trainer:
         idx, vals = self._predict_users(padded)
         predictions = idx[:len(users)].tolist()
         scores = np.round(vals[:len(users)], 4).tolist()
-        if save:
+        from ..parallel.multihost import is_primary
+        if save and is_primary():
             import pandas as pd
             preds_ext = [[self.data.item_id_map[i] for i in row]
                          for row in predictions]
@@ -313,6 +314,15 @@ class Trainer:
     def checkpoint(self, epoch: int):
         if not self.cfg.save:
             return
+        from ..parallel.multihost import is_primary
+        primary = is_primary()
+        # pickle is a whole-file write: only the primary host may touch it
+        # (concurrent writers corrupt it).  Orbax saves are cooperative —
+        # every process writes its own array shards — so those run on all
+        # hosts; the best-promotion filesystem copy stays primary-only.
+        if not getattr(self._checkpointer, 'cooperative', False) \
+                and not primary:
+            return
         state = {
             'params': self.params,
             'epoch': epoch,
@@ -320,7 +330,7 @@ class Trainer:
         }
         self._checkpointer.save_latest(self.cfg.save_path, state)
         first = self.metrics_logger[self.metrics_names[0]]
-        if len(first) and first[:, 0].max() == first[-1][0]:
+        if len(first) and first[:, 0].max() == first[-1][0] and primary:
             log.info('Updating best model at epoch %d', epoch)
             self._checkpointer.promote_best(self.cfg.save_path)
 
