@@ -177,6 +177,158 @@ def bench_torch(steps=8, warmup=2):
     return BATCH * steps / dt, dt / steps
 
 
+def synth_interactions():
+    """In-memory InteractionData over the synthetic graph (no TSV round
+    trip) so model-level benches use the real model/sampler paths."""
+    from textgcn_tpu.data.core import Graph, InteractionData
+
+    eu, ei, w = synth_edges()
+    n_train = len(eu)
+    user_degree = np.bincount(eu, minlength=N_USERS).astype(np.int32)
+    item_degree = np.bincount(ei, minlength=N_ITEMS).astype(np.int32)
+    graph = Graph(N_USERS, N_ITEMS, eu, ei, w, user_degree, item_degree)
+    max_deg = max(int(user_degree.max()), 1)
+    pos_padded = np.full((N_USERS, max_deg), N_ITEMS, np.int32)
+    order = np.lexsort((ei, eu))
+    su, si = eu[order], ei[order]
+    row_starts = np.searchsorted(su, np.arange(N_USERS))
+    col_idx = np.arange(n_train) - row_starts[su]
+    pos_padded[su, col_idx] = si
+    test_users = np.arange(min(2048, N_USERS), dtype=np.int32)
+    return InteractionData(
+        n_users=N_USERS, n_items=N_ITEMS, n_train=n_train, n_test=0,
+        graph=graph, pos_padded=pos_padded, pos_degree=user_degree.copy(),
+        test_users=test_users,
+        true_test=[[0] for _ in test_users],
+        user_id_map={}, item_id_map={}, train_df=None, test_df=None,
+        user_mapping=None, item_mapping=None)
+
+
+def _bench_cfg(model: str):
+    from textgcn_tpu.config import Config
+    return Config(model=model, epochs=1, batch_size=BATCH, emb_size=EMB,
+                  n_layers=LAYERS, dropout=DROPOUT, k=(20, 40),
+                  save=False, save_path='/tmp/bench_run').finalize()
+
+
+def bench_adv_jax(steps=12):
+    """AdvSampl hard-negative-selection training step (the reference's
+    known bottleneck, ``advanced_sampling.py:46-69``), real model path."""
+    import jax
+    import optax
+
+    from textgcn_tpu.models.adv_sampling import AdvSamplModel
+
+    data = synth_interactions()
+    model = AdvSamplModel(_bench_cfg('adv_sampling'), data)
+    params = model.init_params(jax.random.key(0))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def make_run(n):
+        @jax.jit
+        def run(params, opt_state, key):
+            k_s, k_d = jax.random.split(key)
+            users, mask = model.sample_batches(k_s, BATCH)
+            dks = jax.random.split(k_d, users.shape[0])
+
+            def step(carry, xs):
+                params, opt_state = carry
+                bu, bm, dk = xs
+                (loss, _), grads = jax.value_and_grad(
+                    model.loss, has_aux=True)(params, (bu, bm), dk)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                return (optax.apply_updates(params, updates),
+                        opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state),
+                (users[:n], mask[:n], dks[:n]))
+            return losses.sum()
+        return run
+
+    n1, n2 = 3, 3 + steps
+    r1, r2 = make_run(n1), make_run(n2)
+    key = jax.random.key(1)
+    float(r1(params, opt_state, key))
+    float(r2(params, opt_state, key))
+
+    def t(run, reps=2):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            float(run(params, opt_state, jax.random.key(5 + i)))
+        return (time.perf_counter() - t0) / reps
+
+    step_s = (t(r2) - t(r1)) / steps
+    return step_s * 1e3, BATCH / step_s
+
+
+def bench_ltr_eval(n_eval_users=8192):
+    """LTR fused-eval (collapsed-tower one-matmul scoring + masked top-k)
+    users/s, real model path (reference materializes (B, n_items, F),
+    ``ltr_models.py:200-204``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textgcn_tpu.data.text import LTRData
+    from textgcn_tpu.models.ltr import LTRLinear
+
+    base = synth_interactions()
+    rng = np.random.RandomState(1)
+    dim = 384
+
+    def t_feats(n):
+        return (rng.randn(n, dim) / np.sqrt(dim)).astype(np.float32)
+
+    data = LTRData(
+        **{f: getattr(base, f) for f in (
+            'n_users', 'n_items', 'n_train', 'n_test', 'graph',
+            'pos_padded', 'pos_degree', 'test_users', 'true_test',
+            'user_id_map', 'item_id_map', 'train_df', 'test_df',
+            'user_mapping', 'item_mapping')},
+        items_as_desc=t_feats(N_ITEMS),
+        items_as_avg_reviews=t_feats(N_ITEMS),
+        users_as_avg_reviews=t_feats(N_USERS),
+        users_as_avg_desc=t_feats(N_USERS), text_dim=dim)
+    model = LTRLinear(_bench_cfg('ltr_linear'), data)
+    params = model.init_params(jax.random.key(0))
+    reprs = jax.jit(
+        lambda p: model.representation(p, training=False))(params)
+    users = jnp.asarray(
+        np.arange(n_eval_users, dtype=np.int32) % N_USERS)
+
+    def run_n(n):
+        @jax.jit
+        def f(params):
+            acc = jnp.float32(0)
+            for _ in range(n):
+                def one(_, bu):
+                    vals, _ = model.topk_for_users(params, reprs, bu, 40)
+                    return None, vals.sum()
+                _, s = jax.lax.scan(one, None,
+                                    users.reshape(-1, BATCH))
+                acc = acc + s.sum()
+                params = jax.tree.map(
+                    lambda a: a + acc * 1e-20 if a.ndim == 2 else a,
+                    params)
+            return acc
+        return f
+
+    f1, f2 = run_n(1), run_n(4)
+    float(f1(params))
+    float(f2(params))
+
+    def t(f, reps=3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(f(params))
+        return (time.perf_counter() - t0) / reps
+
+    per_pass = (t(f2) - t(f1)) / 3
+    return n_eval_users / per_pass
+
+
 def bench_eval_jax(n_eval_users=8192):
     """Full-catalog eval throughput: masked scoring + top-k, users/s."""
     import jax
@@ -239,6 +391,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=30)
     ap.add_argument('--skip_baseline', action='store_true')
+    ap.add_argument('--skip_extras', action='store_true',
+                    help='skip the adv_sampling / LTR-eval extra metrics')
     args = ap.parse_args()
 
     from textgcn_tpu.cli import setup_compilation_cache
@@ -246,6 +400,10 @@ def main():
 
     jax_eps, jax_step = bench_jax(steps=args.steps)
     eval_ups = bench_eval_jax()
+    adv_ms = adv_eps = ltr_ups = None
+    if not args.skip_extras:
+        adv_ms, adv_eps = bench_adv_jax()
+        ltr_ups = bench_ltr_eval()
     if args.skip_baseline:
         torch_eps = eval_ups_t = None
     else:
@@ -265,6 +423,10 @@ def main():
             'eval_users_per_s': round(eval_ups, 1),
             'eval_users_per_s_baseline': round(eval_ups_t, 1)
             if eval_ups_t else None,
+            'adv_sampling_step_ms': round(adv_ms, 2) if adv_ms else None,
+            'adv_sampling_examples_per_s': round(adv_eps, 1)
+            if adv_eps else None,
+            'ltr_eval_users_per_s': round(ltr_ups, 1) if ltr_ups else None,
             'device': str(jax.devices()[0]),
             'n_users': N_USERS, 'n_items': N_ITEMS,
             'batch': BATCH, 'emb': EMB, 'layers': LAYERS,

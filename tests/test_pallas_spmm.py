@@ -161,3 +161,33 @@ def test_dropout_masks_agree_across_transpose(rng, dummy_data):
     assert ma.keys() == mb.keys()
     for k in ma:
         assert ma[k] == pytest.approx(mb[k])
+
+
+def test_split_shapes_unified_one_kernel_variant(rng):
+    """All source splits share identical static/array shapes (one compiled
+    kernel variant), including a rebased final split that does not divide
+    evenly."""
+    src, dst, w, ni, nu = _rand_graph(rng, e=4000, ni=1400, nu=900)
+    d = 64
+    ni_t = -(-ni // SRC_BLOCK) * SRC_BLOCK   # 1536 rows
+    full = TiledSpMM(src, dst, w, ni_t, nu, d, user_axis='dst',
+                     interpret=True)
+    split = TiledSpMM.__new__(TiledSpMM)
+    split.VMEM_X_BUDGET = 2 * SRC_BLOCK * d * 4  # 1024-row windows
+    split.__init__(src, dst, w, ni_t, nu, d, user_axis='dst',
+                   interpret=True)
+    assert len(split.splits) == 2
+    offs = [off for off, *_ in split.splits]
+    lengths = [length for _, length, *_ in split.splits]
+    # final split rebased to a full-width window ending at the table edge
+    assert lengths == [1024, 1024]
+    assert offs == [0, ni_t - 1024]
+    shapes = {(d_.packed.shape, d_.max_groups, d_.n_src_padded)
+              for _, _, d_, _, _ in split.splits}
+    assert len(shapes) == 1, shapes
+
+    x = jnp.asarray(rng.randn(ni_t, d).astype(np.float32))
+    salt, keep = jnp.uint32(3), jnp.float32(0.5)
+    np.testing.assert_allclose(np.asarray(full(x, salt, keep)),
+                               np.asarray(split(x, salt, keep)),
+                               atol=1e-4)

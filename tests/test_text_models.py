@@ -224,3 +224,33 @@ def test_popularity_compat_mode_reaches_data(dummy_dir, tmp_path,
                                       + ['--popularity_mode', 'compat']))
     assert not np.array_equal(fixed.popularity_items,
                               compat.popularity_items)
+
+
+def test_marcus_boosted_head(dummy_dir, tmp_path, monkeypatch):
+    """Marcus variant: trees fit on positives + sampled negatives per
+    positive (O(n_train*(1+neg)) rows), not the full catalog matrix."""
+    monkeypatch.chdir(tmp_path)
+    from textgcn_tpu.models.ltr_boosted import MarcusGradientBoosted
+
+    seen = {}
+    orig_fit = None
+
+    def spy(self, x, y, **kw):
+        seen['shape'] = x.shape
+        seen['y_pos'] = float(np.asarray(y).sum())
+        return orig_fit(self, x, y)
+
+    import sklearn.ensemble
+    orig_fit = sklearn.ensemble.GradientBoostingRegressor.fit
+    monkeypatch.setattr(sklearn.ensemble.GradientBoostingRegressor,
+                        'fit', spy)
+    tr = run_cli(['--model', 'marcus', '--data', str(dummy_dir),
+                  '--batch_size', '16', '--emb_size', '16',
+                  '--neg_samples', '2', '-k', '3', '--uid', 'marcus'])
+    assert tr.model._tree_fitted
+    assert isinstance(tr.model, MarcusGradientBoosted)
+    n_train = tr.data.n_train
+    # one row per positive + neg_samples sampled negatives per positive
+    assert seen['shape'] == (n_train * 3, tr.model.n_features)
+    assert seen['y_pos'] == n_train
+    assert np.isfinite(tr.inner.metrics_logger['recall']).all()

@@ -39,6 +39,7 @@ MODEL_CHOICES = (
     # gradient-boosted heads (unreachable in the reference main.py;
     # runnable here, xgboost degrades to sklearn GBRT when absent)
     'xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop',
+    'marcus',        # per-positive negative-sampling tree head
 )
 
 

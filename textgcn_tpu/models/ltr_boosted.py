@@ -249,6 +249,76 @@ class BoostedTrainer:
         return results
 
 
+class MarcusGradientBoosted(LTRGradientBoosted):
+    """Per-positive negative-sampling tree head (reference
+    ``MarcusGradientBoosted``, ``ltr_gradient_boosted.py:157-199`` —
+    unreachable from its ``main.py``, SURVEY.md Q3/Q5; runnable here).
+
+    Instead of the full multi-hot (user x catalog) label matrix, every
+    user contributes its positives plus ``neg_samples`` sampled negatives
+    per positive, so one tree round fits on ``O(n_train * (1 + neg))``
+    rows instead of ``O(n_users * n_items)`` — the tractable variant for
+    large catalogs.  Features come from the same TPU pairwise cross path
+    as ``LTRLinear``; the ranker prefers xgboost like the reference
+    (which forces ``model='xgboost'`` at ``:159-161``) and degrades to
+    sklearn GBRT.
+    """
+
+    def _make_tree(self, cfg):
+        import dataclasses
+        return super()._make_tree(dataclasses.replace(cfg,
+                                                      model='xgboost'))
+
+    def fit_trees(self, params, pos_padded, pos_degree, batch_size=4096):
+        reprs = jax.jit(
+            lambda p: self.representation(p, training=False))(params)
+        users_repr, items_repr = reprs
+        feat_fn = jax.jit(lambda users, items: self.features_pairwise(
+            self._user_vecs(users_repr, users),
+            self._item_vecs(items_repr, items), users, items))
+
+        rng = np.random.RandomState(self.cfg.seed)
+        pos_padded = np.asarray(pos_padded)
+        pos_degree = np.asarray(pos_degree)
+        neg_k = max(1, self.cfg.neg_samples)
+        rows_u, rows_i, rows_y, groups = [], [], [], []
+        for u in range(self.n_users):
+            deg = int(pos_degree[u])
+            if not deg:
+                continue
+            pos_items = pos_padded[u][:deg]
+            negs = rng.randint(0, self.n_items, deg * neg_k)
+            for _ in range(8):  # rejection: resample positive collisions
+                bad = np.isin(negs, pos_items)
+                if not bad.any():
+                    break
+                negs[bad] = rng.randint(0, self.n_items, int(bad.sum()))
+            items = np.concatenate([pos_items, negs]).astype(np.int32)
+            rows_u.append(np.full(len(items), u, np.int32))
+            rows_i.append(items)
+            rows_y.append(np.concatenate(
+                [np.ones(deg, np.float32),
+                 np.zeros(len(negs), np.float32)]))
+            groups.append(len(items))
+
+        users_all = np.concatenate(rows_u)
+        items_all = np.concatenate(rows_i)
+        y = np.concatenate(rows_y)
+        feats = []
+        for s in range(0, len(users_all), batch_size):
+            feats.append(np.asarray(feat_fn(
+                jnp.asarray(users_all[s:s + batch_size]),
+                jnp.asarray(items_all[s:s + batch_size]))))
+        x = np.concatenate(feats)
+        try:
+            self.tree.fit(x, y, group=groups)
+        except TypeError:
+            self.tree.fit(x, y)
+        self._tree_fitted = True
+        return list(zip(self.feature_names,
+                        getattr(self.tree, 'feature_importances_', [])))
+
+
 class LTRGradientBoostedWPop(LTRGradientBoosted):
     """+ popularity features (reference ``ltr_gradient_boosted.py:99-154``)."""
 

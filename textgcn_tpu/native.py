@@ -90,6 +90,8 @@ def ensure_built() -> bool:
 
 
 def available() -> bool:
+    if os.environ.get('TEXTGCN_TPU_NATIVE', '') == '0':
+        return False
     return ensure_built()
 
 

@@ -485,6 +485,14 @@ class TiledSpMM:
         for off in range(0, max(int(n_src), 1), rows_per_split):
             hi = min(off + rows_per_split, n_src)
             sel = (src >= off) & (src < hi)
+            # a short final split is rebased to a full-width window ending
+            # at the table edge so every split slices identical x shapes
+            # (one compiled kernel variant instead of two); the overlap
+            # rows carry no edges of this split, so they contribute
+            # nothing to the one-hot matmuls
+            if hi - off < rows_per_split and n_src >= rows_per_split:
+                off = n_src - rows_per_split
+                hi = n_src
             direction = PallasDirection(
                 src[sel] - off, np.asarray(dst)[sel],
                 np.asarray(w)[sel], hi - off, n_dst,
@@ -501,6 +509,45 @@ class TiledSpMM:
                 uids, iids = src_g, dst_g
             self.splits.append((off, hi - off, direction,
                                 jnp.asarray(uids), jnp.asarray(iids)))
+        self._unify_split_shapes()
+
+    def _unify_split_shapes(self):
+        """Pad every split's layout arrays to common (n_groups,
+        max_groups) so all splits share ONE compiled kernel variant.
+
+        The kernel's static args are (n_dst_blocks, max_groups, blocks) and
+        its array shapes are (n_groups, GROUP, CHUNK); without
+        unification a 21-split table costs 21 separate ~45-300 s remote
+        Pallas compiles.  Padding groups are never executed: ``group_ptr``
+        still delimits each block's real group range, so the extra grid
+        steps fail the ``g < ptr[b+1]`` guard and are skipped.
+        """
+        if len(self.splits) <= 1:
+            return
+        n_groups = max(d.packed.shape[0] for _, _, d, _, _ in self.splits)
+        max_groups = max(d.max_groups for _, _, d, _, _ in self.splits)
+
+        def pad_groups(a, fill):
+            a = np.asarray(a)
+            extra = n_groups - a.shape[0]
+            if extra <= 0:
+                return jnp.asarray(a)
+            return jnp.asarray(np.concatenate(
+                [a, np.full((extra, *a.shape[1:]), fill, a.dtype)]))
+
+        unified = []
+        for off, length, d, uids, iids in self.splits:
+            d.packed = pad_groups(d.packed, 0)
+            d.w = pad_groups(d.w, 0.0)
+            d.dst_ids = pad_groups(d.dst_ids, -1)
+            d.src_ids = pad_groups(d.src_ids, -1)
+            sb = np.asarray(d.chunk_sb)
+            d.chunk_sb = jnp.asarray(np.concatenate(
+                [sb, np.zeros(n_groups * GROUP - len(sb), sb.dtype)]))
+            d.max_groups = max_groups
+            unified.append((off, length, d, pad_groups(uids, -1),
+                            pad_groups(iids, -1)))
+        self.splits = unified
 
     def _dir_weights(self, direction, salt, keep, off, uids=None,
                      iids=None):

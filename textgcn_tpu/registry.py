@@ -18,7 +18,8 @@ def get_class(name: str):
     from .models.lightgcn import LightGCN
     from .models.ltr import LTRLinear, LTRLinearWPop
     from .models.ltr_boosted import (LTRGradientBoosted,
-                                     LTRGradientBoostedWPop)
+                                     LTRGradientBoostedWPop,
+                                     MarcusGradientBoosted)
     from .models.text_loss import (TextModel, TextModelKG,
                                    TextModelReviews)
 
@@ -39,8 +40,9 @@ def get_class(name: str):
         'gbdt': (load_ltr_data, LTRGradientBoosted),
         'xgboost_pop': (load_ltr_data, LTRGradientBoostedWPop),
         'gbdt_pop': (load_ltr_data, LTRGradientBoostedWPop),
+        'marcus': (load_ltr_data, MarcusGradientBoosted),
     }
     return registry[name]
 
 
-BOOSTED_MODELS = ('xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop')
+BOOSTED_MODELS = ('xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop', 'marcus')
