@@ -72,7 +72,7 @@ def bench_jax(steps=30, warmup=5):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    def loss_fn(params, users, pos, negs, key):
+    def loss_fn(params, graph_op, users, pos, negs, key):
         u_repr, i_repr = representation(
             params, graph_op, LAYERS, single=False, dropout=DROPOUT,
             dropout_key=key)
@@ -84,32 +84,36 @@ def bench_jax(steps=30, warmup=5):
                 + reg_loss(params['user_emb'], params['item_emb'],
                            users, pos, negs, mask, 1e-4))
 
-    def step(carry, key):
-        params, opt_state = carry
-        k_b, k_d = jax.random.split(key)
-        ku, kp, kn = jax.random.split(k_b, 3)
-        users = jax.random.randint(ku, (BATCH,), 0, N_USERS)
-        pos = jax.random.randint(kp, (BATCH,), 0, N_ITEMS)
-        negs = jax.random.randint(kn, (BATCH, 1), 0, N_ITEMS)
-        loss, grads = jax.value_and_grad(loss_fn)(params, users, pos,
-                                                  negs, k_d)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
     # the real trainer scans whole epochs inside one jitted call
-    # (trainer.py:_make_epoch_fn); benchmark the same shape
+    # (trainer.py:_make_epoch_fn); benchmark the same shape.  The graph
+    # op is a jit ARGUMENT (pytree), not a closed-over constant.
     @jax.jit
-    def run(params, opt_state, key):
+    def run(params, opt_state, key, graph_op):
+        def step(carry, key):
+            params, opt_state = carry
+            k_b, k_d = jax.random.split(key)
+            ku, kp, kn = jax.random.split(k_b, 3)
+            users = jax.random.randint(ku, (BATCH,), 0, N_USERS)
+            pos = jax.random.randint(kp, (BATCH,), 0, N_ITEMS)
+            negs = jax.random.randint(kn, (BATCH, 1), 0, N_ITEMS)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, graph_op, users, pos, negs, k_d)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
         keys = jax.random.split(key, steps)
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), keys)
         return params, opt_state, losses
 
-    params, opt_state, losses = run(params, opt_state, jax.random.key(1))
+    params, opt_state, losses = run(params, opt_state, jax.random.key(1),
+                                    graph_op)
     losses.block_until_ready()  # warmup + compile
     t0 = time.perf_counter()
-    params, opt_state, losses = run(params, opt_state, jax.random.key(2))
+    params, opt_state, losses = run(params, opt_state, jax.random.key(2),
+                                    graph_op)
     losses.block_until_ready()
     dt = time.perf_counter() - t0
     return BATCH * steps / dt, dt / steps
@@ -177,6 +181,11 @@ def bench_torch(steps=8, warmup=2):
     return BATCH * steps / dt, dt / steps
 
 
+def _bound_repr(model, params, cap):
+    with model.bound(cap):
+        return model.representation(params, training=False)
+
+
 def synth_interactions():
     """In-memory InteractionData over the synthetic graph (no TSV round
     trip) so model-level benches use the real model/sampler paths."""
@@ -225,28 +234,31 @@ def bench_adv_jax(steps=12):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
+    cap = model.captured_state()
+
     def make_run(n):
         @jax.jit
-        def run(params, opt_state, key):
-            k_s, k_d = jax.random.split(key)
-            users, mask = model.sample_batches(k_s, BATCH)
-            dks = jax.random.split(k_d, users.shape[0])
+        def run(params, opt_state, key, cap):
+            with model.bound(cap):
+                k_s, k_d = jax.random.split(key)
+                users, mask = model.sample_batches(k_s, BATCH)
+                dks = jax.random.split(k_d, users.shape[0])
 
-            def step(carry, xs):
-                params, opt_state = carry
-                bu, bm, dk = xs
-                (loss, _), grads = jax.value_and_grad(
-                    model.loss, has_aux=True)(params, (bu, bm), dk)
-                updates, opt_state = optimizer.update(grads, opt_state,
-                                                      params)
-                return (optax.apply_updates(params, updates),
-                        opt_state), loss
+                def step(carry, xs):
+                    params, opt_state = carry
+                    bu, bm, dk = xs
+                    (loss, _), grads = jax.value_and_grad(
+                        model.loss, has_aux=True)(params, (bu, bm), dk)
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params)
+                    return (optax.apply_updates(params, updates),
+                            opt_state), loss
 
-            (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state),
-                (users[:n], mask[:n], dks[:n]))
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state),
+                    (users[:n], mask[:n], dks[:n]))
             return losses.sum()
-        return run
+        return lambda p, o, k: run(p, o, k, cap)
 
     n1, n2 = 3, 3 + steps
     r1, r2 = make_run(n1), make_run(n2)
@@ -293,36 +305,39 @@ def bench_ltr_eval(n_eval_users=8192):
         users_as_avg_desc=t_feats(N_USERS), text_dim=dim)
     model = LTRLinear(_bench_cfg('ltr_linear'), data)
     params = model.init_params(jax.random.key(0))
-    reprs = jax.jit(
-        lambda p: model.representation(p, training=False))(params)
+    cap = model.captured_state()
+    reprs = jax.jit(lambda p, cap: _bound_repr(model, p, cap))(params,
+                                                              cap)
     users = jnp.asarray(
         np.arange(n_eval_users, dtype=np.int32) % N_USERS)
 
     def run_n(n):
         @jax.jit
-        def f(params):
-            acc = jnp.float32(0)
-            for _ in range(n):
-                def one(_, bu):
-                    vals, _ = model.topk_for_users(params, reprs, bu, 40)
-                    return None, vals.sum()
-                _, s = jax.lax.scan(one, None,
-                                    users.reshape(-1, BATCH))
-                acc = acc + s.sum()
-                params = jax.tree.map(
-                    lambda a: a + acc * 1e-20 if a.ndim == 2 else a,
-                    params)
+        def f(params, reprs, cap):
+            with model.bound(cap):
+                acc = jnp.float32(0)
+                for _ in range(n):
+                    def one(_, bu):
+                        vals, _ = model.topk_for_users(params, reprs, bu,
+                                                       40)
+                        return None, vals.sum()
+                    _, s = jax.lax.scan(one, None,
+                                        users.reshape(-1, BATCH))
+                    acc = acc + s.sum()
+                    params = jax.tree.map(
+                        lambda a: a + acc * 1e-20 if a.ndim == 2 else a,
+                        params)
             return acc
         return f
 
     f1, f2 = run_n(1), run_n(4)
-    float(f1(params))
-    float(f2(params))
+    float(f1(params, reprs, cap))
+    float(f2(params, reprs, cap))
 
     def t(f, reps=3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            float(f(params))
+            float(f(params, reprs, cap))
         return (time.perf_counter() - t0) / reps
 
     per_pass = (t(f2) - t(f1)) / 3
@@ -346,7 +361,7 @@ def bench_eval_jax(n_eval_users=8192):
 
     def run_n(n):
         @jax.jit
-        def f(users_emb):
+        def f(users_emb, items_emb, pos):
             acc = jnp.float32(0)
             for i in range(n):
                 u = users_emb.reshape(-1, BATCH, EMB)
@@ -364,11 +379,12 @@ def bench_eval_jax(n_eval_users=8192):
 
     import time as _t
     f1, f4 = run_n(1), run_n(5)
-    float(f1(users_emb)); float(f4(users_emb))
+    float(f1(users_emb, items_emb, pos))
+    float(f4(users_emb, items_emb, pos))
     def t(f, reps=3):
         t0 = _t.perf_counter()
         for _ in range(reps):
-            float(f(users_emb))
+            float(f(users_emb, items_emb, pos))
         return (_t.perf_counter() - t0) / reps
     per_pass = (t(f4) - t(f1)) / 4
     return n_eval_users / per_pass

@@ -183,7 +183,7 @@ def test_split_shapes_unified_one_kernel_variant(rng):
     assert lengths == [1024, 1024]
     assert offs == [0, ni_t - 1024]
     shapes = {(d_.packed.shape, d_.max_groups, d_.n_src_padded)
-              for _, _, d_, _, _ in split.splits}
+              for _, _, d_ in split.splits}
     assert len(shapes) == 1, shapes
 
     x = jnp.asarray(rng.randn(ni_t, d).astype(np.float32))

@@ -121,3 +121,38 @@ def test_spmm_op_matches_dense(dummy_data, rng):
                                np.asarray(g2['user_emb']), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1['item_emb']),
                                np.asarray(g2['item_emb']), atol=1e-4)
+
+
+def test_ops_are_pytree_jit_arguments_not_constants(rng):
+    """Graph ops pass through jit as arguments: the lowered program must
+    NOT embed the edge/layout arrays as constants (embedding broke remote
+    compilation at multi-million-edge scale with HTTP 413)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textgcn_tpu.ops.pallas_spmm import SRC_BLOCK, PallasGraphOp
+    from textgcn_tpu.ops.spmm import BipartiteGraphOp
+
+    n_users, n_items, e = 2000, 1500, 40_000
+    eu = rng.randint(0, n_users, e).astype(np.int32)
+    ei = rng.randint(0, n_items, e).astype(np.int32)
+    w = rng.rand(e).astype(np.float32)
+    nu_t = -(-n_users // SRC_BLOCK) * SRC_BLOCK
+    ni_t = -(-n_items // SRC_BLOCK) * SRC_BLOCK
+
+    for op in (BipartiteGraphOp(eu, ei, w, nu_t, ni_t),
+               PallasGraphOp(eu, ei, w, nu_t, ni_t, 8, interpret=True)):
+        def f(x, op):
+            pairs = op.weights(None, 0.0)
+            return op.to_user(x, pairs[0]).sum()
+
+        x = jnp.zeros((ni_t, 8), jnp.float32)
+        txt = jax.jit(f).lower(x, op).as_text()
+        # 40k-edge metadata is ~1 MB as text; the program must stay small
+        assert len(txt) < 300_000, \
+            f'{type(op).__name__}: HLO {len(txt)} bytes — arrays embedded'
+        # gradient path too
+        gtxt = jax.jit(jax.grad(lambda x, op: f(x, op))).lower(
+            x, op).as_text()
+        assert len(gtxt) < 400_000, \
+            f'{type(op).__name__}: grad HLO {len(gtxt)} bytes'

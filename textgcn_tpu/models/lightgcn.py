@@ -33,6 +33,13 @@ class LightGCN:
     # Trainer (reference ``base_model.py:115,131``)
     loss_components = ('bpr', 'reg')
 
+    # device-resident attributes that jitted drivers must pass as
+    # ARGUMENTS rather than close over: closed-over device arrays are
+    # embedded into the compiled program as constants (bloats/breaks
+    # compilation at multi-million-edge scale; illegal for
+    # multi-controller global arrays).  Subclasses extend this.
+    captured_attrs = ('graph_op', 'pos_padded', 'pos_degree')
+
     def __init__(self, cfg: Config, data: InteractionData):
         self.cfg = cfg
         self.n_users = data.n_users
@@ -181,6 +188,33 @@ class LightGCN:
             bucket_len=self.bucket_len, neg_samples=self.cfg.neg_samples,
             n_items=self.n_items)
         return batch_epoch(users, pos, negs, batch_size=batch_size)
+
+    # --- captured device state (for jitted drivers) -------------------------
+
+    def captured_state(self) -> dict:
+        """Pytree of this model's device-resident arrays (graph op,
+        positive tables, feature tensors).  Jitted drivers take it as an
+        argument and rebind it with ``bound`` while tracing."""
+        return {name: getattr(self, name) for name in self.captured_attrs
+                if getattr(self, name, None) is not None}
+
+    def bound(self, state: dict):
+        """Context manager temporarily rebinding captured attributes (to
+        tracers during jit tracing); restores the concrete arrays after."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            old = {k: getattr(self, k) for k in state}
+            try:
+                for k, v in state.items():
+                    setattr(self, k, v)
+                yield self
+            finally:
+                for k, v in old.items():
+                    setattr(self, k, v)
+
+        return _ctx()
 
     # --- trainable-leaf mask (for freeze support in subclasses) ------------
 

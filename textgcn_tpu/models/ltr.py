@@ -83,6 +83,9 @@ def collapse_tower(tower):
 class LTRLinear(LightGCN):
 
     n_extra_features = 0
+    captured_attrs = LightGCN.captured_attrs + (
+        'items_as_desc', 'items_as_avg_reviews', 'users_as_avg_reviews',
+        'users_as_avg_desc')
 
     def __init__(self, cfg, data):
         super().__init__(cfg, data)
@@ -244,6 +247,8 @@ class LTRLinearWPop(LTRLinear):
     ``ltr_models.py:213-241``)."""
 
     n_extra_features = 2
+    captured_attrs = LTRLinear.captured_attrs + (
+        'popularity_users', 'popularity_items')
 
     def __init__(self, cfg, data):
         super().__init__(cfg, data)

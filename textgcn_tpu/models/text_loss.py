@@ -138,6 +138,8 @@ class TextModelKG(TextLossModel):
     """Items represented by description embeddings (reference
     ``kg_models.py:53-70``)."""
 
+    captured_attrs = TextLossModel.captured_attrs + ('items_as_desc',)
+
     def __init__(self, cfg, data, **kw):
         super().__init__(cfg, data, **kw)
         self.items_as_desc = jnp.asarray(data.items_as_desc)
@@ -152,6 +154,10 @@ class TextModelReviews(TextLossModel):
     """Items represented by mean-review embeddings, or — with
     ``pos='user'`` — by the review the sampled user wrote about the item
     (reference ``reviews_models.py:116-142``)."""
+
+    captured_attrs = TextLossModel.captured_attrs + (
+        'items_as_avg_reviews', '_pair_users', '_pair_item_ptr',
+        '_pair_vectors')
 
     def __init__(self, cfg, data, pos: str | None = None, **kw):
         super().__init__(cfg, data, **kw)
@@ -218,6 +224,8 @@ class TextModel(TextModelReviews, TextModelKG):
     the reviews representation by default; ``--pos kg`` / ``--neg kg``
     switch either side to the description reprs
     (reference ``reviews_models.py:121-128``)."""
+
+    captured_attrs = TextModelReviews.captured_attrs + ('items_as_desc',)
 
     def __init__(self, cfg, data, pos: str | None = None,
                  neg: str | None = None, **kw):

@@ -100,14 +100,24 @@ def _make_kernel(src_block: int, dst_block: int):
     return _kernel
 
 
-def _make_dropout_kernel(src_block: int, dst_block: int):
+def _make_dropout_kernel(src_block: int, dst_block: int, user_axis: str):
     """Kernel variant with the hash-dropout mask fused in: the per-edge
     scale is computed on the VPU from (user, item, salt) inside the kernel,
     overlapping the MXU matmuls — saves the separate XLA mask pass and the
-    scaled-weight array round-trip (~25% of the train step)."""
+    scaled-weight array round-trip (~25% of the train step).
 
-    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, packed_ref, w_ref,
-                uid_ref, iid_ref, x_ref, out_ref):
+    The global (user, item) ids feeding the hash are **reconstructed
+    in-kernel** from the packed locals + block indices
+    (``src = sb*src_block + src_local + split_off``,
+    ``dst = b*dst_block + dst_local``) instead of being carried as two
+    extra (n_groups, GROUP, CHUNK) metadata arrays — half the per-group
+    metadata DMA and a third less host->device layout transfer.
+    ``user_axis`` says which endpoint is the user slot so a direction and
+    its transpose hash identical (user, item) pairs.
+    """
+
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref, packed_ref,
+                w_ref, x_ref, out_ref):
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -121,12 +131,14 @@ def _make_dropout_kernel(src_block: int, dst_block: int):
         def _():
             salt = salt_ref[0]
             keep = keep_ref[0]
+            off = off_ref[0]
             inv_keep = 1.0 / keep
             rows_all = []
             for j in range(GROUP):                    # static unroll
                 sb = sb_ref[g * GROUP + j]
                 packed = packed_ref[0, j, :]          # (CHUNK,) int32
                 src_local = packed & 0xFFFF
+                dst_local = packed >> 16
                 start = pl.multiple_of(sb * src_block, src_block)
                 xb = x_ref[pl.ds(start, src_block), :]
 
@@ -136,10 +148,16 @@ def _make_dropout_kernel(src_block: int, dst_block: int):
                 rows = jnp.dot(s_gather, xb, precision=PRECISION,
                                preferred_element_type=jnp.float32)
 
+                # reconstruct global endpoint ids for the hash
+                src_g = (sb * src_block + src_local
+                         + off.astype(jnp.int32)).astype(jnp.uint32)
+                dst_g = (b * dst_block + dst_local).astype(jnp.uint32)
+                if user_axis == 'dst':
+                    uid, iid = dst_g, src_g
+                else:
+                    uid, iid = src_g, dst_g
                 # in-kernel murmur-style hash mask (edge_dropout_scale)
-                h = (uid_ref[0, j, :].astype(jnp.uint32) * _M1
-                     ^ iid_ref[0, j, :].astype(jnp.uint32) * _M2
-                     ^ salt.astype(jnp.uint32))
+                h = uid * _M1 ^ iid * _M2 ^ salt.astype(jnp.uint32)
                 h = h ^ (h >> 16)
                 h = h * _F1
                 h = h ^ (h >> 15)
@@ -166,32 +184,35 @@ def _make_dropout_kernel(src_block: int, dst_block: int):
 
 @functools.partial(jax.jit, static_argnames=('n_dst_blocks', 'max_groups',
                                              'src_block', 'dst_block',
-                                             'interpret'))
-def pallas_spmm_dropout(group_ptr, chunk_sb, salt, keep, packed, w,
-                        uids, iids, x, *, n_dst_blocks: int,
-                        max_groups: int, src_block: int = SRC_BLOCK,
+                                             'user_axis', 'interpret'))
+def pallas_spmm_dropout(group_ptr, chunk_sb, salt, keep, off, packed, w,
+                        x, *, n_dst_blocks: int, max_groups: int,
+                        src_block: int = SRC_BLOCK,
                         dst_block: int = DST_BLOCK,
+                        user_axis: str = 'dst',
                         interpret: bool = False):
     """Blocked one-hot SpMM with fused hash dropout.
 
-    ``salt`` (uint32 (1,)) / ``keep`` (f32 (1,)) are scalar-prefetched;
-    ``uids``/``iids`` carry the global (user, item) ids per edge slot in
-    the same (n_groups, GROUP, CHUNK) layout as ``packed``/``w``.
+    ``salt`` (uint32 (1,)) / ``keep`` (f32 (1,)) / ``off`` (uint32 (1,),
+    the source-split global row offset) are scalar-prefetched; the global
+    (user, item) ids feeding the hash are reconstructed in-kernel from
+    the packed locals + block indices, so no per-edge id metadata arrays
+    are carried.
     """
     d = x.shape[1]
     n_groups = packed.shape[0]
 
-    def group_map(b, t, ptr, sb, s_, k_):
+    def group_map(b, t, ptr, sb, s_, k_, o_):
         return (jnp.minimum(ptr[b] + t, n_groups - 1), 0, 0)
 
     meta = pl.BlockSpec((1, GROUP, CHUNK), group_map,
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_dropout_kernel(src_block, dst_block),
+        _make_dropout_kernel(src_block, dst_block, user_axis),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(n_dst_blocks, max_groups),
-            in_specs=[meta, meta, meta, meta,
+            in_specs=[meta, meta,
                       pl.BlockSpec(x.shape, lambda b, t, *_: (0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((dst_block, d), lambda b, t, *_: (b, 0),
@@ -200,7 +221,7 @@ def pallas_spmm_dropout(group_ptr, chunk_sb, salt, keep, packed, w,
         out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, d),
                                        jnp.float32),
         interpret=interpret,
-    )(group_ptr, chunk_sb, salt, keep, packed, w, uids, iids, x)
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, x)
 
 
 def plan_tile_blocks(n_edges: int, n_src: int, n_dst: int):
@@ -306,10 +327,13 @@ class PallasDirection:
             self.chunk_sb = jnp.asarray(sb)
             self.group_ptr = jnp.asarray(gptr)
             self.max_groups = max_groups
-            self.dst_ids = jnp.asarray(
-                dst_ids.reshape(self.n_groups, GROUP, CHUNK))
-            self.src_ids = jnp.asarray(
-                src_ids.reshape(self.n_groups, GROUP, CHUNK))
+            # endpoint ids stay host-side numpy: the dropout kernel
+            # reconstructs them in-kernel; only the mesh op / tests
+            # consume these (and convert as needed)
+            self.dst_ids = np.asarray(dst_ids).astype(np.int32) \
+                .reshape(self.n_groups, GROUP, CHUNK)
+            self.src_ids = np.asarray(src_ids).astype(np.int32) \
+                .reshape(self.n_groups, GROUP, CHUNK)
             return
 
         tile = (dst // DST_B) * n_src_blocks + (src // SRC_B)
@@ -392,12 +416,10 @@ class PallasDirection:
             .astype(np.int32)
         self.group_ptr = jnp.asarray(gptr)
         self.max_groups = max(int(np.diff(gptr).max()), 1)
-        self.dst_ids = jnp.asarray(
-            np.resize(dst_ids, (self.n_groups * GROUP, CHUNK))
-            .astype(np.int32).reshape(self.n_groups, GROUP, CHUNK))
-        self.src_ids = jnp.asarray(
-            np.resize(src_ids, (self.n_groups * GROUP, CHUNK))
-            .astype(np.int32).reshape(self.n_groups, GROUP, CHUNK))
+        self.dst_ids = np.resize(dst_ids, (self.n_groups * GROUP, CHUNK)) \
+            .astype(np.int32).reshape(self.n_groups, GROUP, CHUNK)
+        self.src_ids = np.resize(src_ids, (self.n_groups * GROUP, CHUNK)) \
+            .astype(np.int32).reshape(self.n_groups, GROUP, CHUNK)
 
     def __call__(self, x, w=None, interpret: bool = False):
         assert x.shape[0] == self.n_src_padded, \
@@ -409,6 +431,28 @@ class PallasDirection:
             src_block=self.src_block, dst_block=self.dst_block,
             interpret=interpret)
         return out[:self.n_dst]
+
+    # pytree protocol: see ops/spmm.py — ops pass through jit as ARGUMENTS
+    # so their arrays are not embedded as compiled-program constants.
+    # Host-only numpy ids are excluded (never read in traced code).
+    def tree_flatten(self):
+        children = (self.group_ptr, self.chunk_sb, self.packed, self.w)
+        aux = (self.src_block, self.dst_block, self.n_dst,
+               self.n_src_padded, self.n_dst_blocks, self.n_groups,
+               self.n_chunks, self.max_groups)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        d = object.__new__(cls)
+        (d.src_block, d.dst_block, d.n_dst, d.n_src_padded,
+         d.n_dst_blocks, d.n_groups, d.n_chunks, d.max_groups) = aux
+        d.dst_ids = d.src_ids = None  # host-only
+        d.group_ptr, d.chunk_sb, d.packed, d.w = children
+        return d
+
+
+jax.tree_util.register_pytree_node_class(PallasDirection)
 
 
 # ---------------------------------------------------------------------------
@@ -497,18 +541,10 @@ class TiledSpMM:
                 src[sel] - off, np.asarray(dst)[sel],
                 np.asarray(w)[sel], hi - off, n_dst,
                 src_block=src_block, dst_block=dst_block)
-            # global (user, item) ids per edge slot for the in-kernel
-            # dropout hash (split-local src ids get the offset back;
-            # padding slots keep the -1 sentinel, killed by w_base = 0)
-            src_g = np.asarray(direction.src_ids)
-            src_g = np.where(src_g >= 0, src_g + off, -1).astype(np.int32)
-            dst_g = np.asarray(direction.dst_ids)
-            if user_axis == 'dst':
-                uids, iids = dst_g, src_g
-            else:
-                uids, iids = src_g, dst_g
-            self.splits.append((off, hi - off, direction,
-                                jnp.asarray(uids), jnp.asarray(iids)))
+            # no per-edge id metadata: the kernel reconstructs global
+            # (user, item) ids from packed locals + block indices + the
+            # split offset (passed as a prefetched scalar)
+            self.splits.append((off, hi - off, direction))
         self._unify_split_shapes()
 
     def _unify_split_shapes(self):
@@ -524,60 +560,114 @@ class TiledSpMM:
         """
         if len(self.splits) <= 1:
             return
-        n_groups = max(d.packed.shape[0] for _, _, d, _, _ in self.splits)
-        max_groups = max(d.max_groups for _, _, d, _, _ in self.splits)
+        n_groups = max(d.packed.shape[0] for _, _, d in self.splits)
+        max_groups = max(d.max_groups for _, _, d in self.splits)
 
-        def pad_groups(a, fill):
+        def pad_groups(a, fill, as_np=False):
             a = np.asarray(a)
             extra = n_groups - a.shape[0]
-            if extra <= 0:
-                return jnp.asarray(a)
-            return jnp.asarray(np.concatenate(
-                [a, np.full((extra, *a.shape[1:]), fill, a.dtype)]))
+            if extra > 0:
+                a = np.concatenate(
+                    [a, np.full((extra, *a.shape[1:]), fill, a.dtype)])
+            return a if as_np else jnp.asarray(a)
 
-        unified = []
-        for off, length, d, uids, iids in self.splits:
+        for off, length, d in self.splits:
             d.packed = pad_groups(d.packed, 0)
             d.w = pad_groups(d.w, 0.0)
-            d.dst_ids = pad_groups(d.dst_ids, -1)
-            d.src_ids = pad_groups(d.src_ids, -1)
+            d.dst_ids = pad_groups(d.dst_ids, -1, as_np=True)
+            d.src_ids = pad_groups(d.src_ids, -1, as_np=True)
             sb = np.asarray(d.chunk_sb)
             d.chunk_sb = jnp.asarray(np.concatenate(
                 [sb, np.zeros(n_groups * GROUP - len(sb), sb.dtype)]))
             d.max_groups = max_groups
-            unified.append((off, length, d, pad_groups(uids, -1),
-                            pad_groups(iids, -1)))
-        self.splits = unified
 
-    def _dir_weights(self, direction, salt, keep, off, uids=None,
-                     iids=None):
+    def _dir_weights(self, direction, salt, keep, off):
         """XLA-side mask (used by tests and the mesh op; the single-chip
         path fuses this into the kernel)."""
-        if uids is None:
-            if self.user_axis == 'dst':
-                uids, iids = direction.dst_ids, direction.src_ids + off
-            else:
-                uids, iids = direction.src_ids + off, direction.dst_ids
-        scale = edge_dropout_scale(uids, iids, salt, keep)
+        if self.user_axis == 'dst':
+            uids, iids = direction.dst_ids, direction.src_ids + off
+        else:
+            uids, iids = direction.src_ids + off, direction.dst_ids
+        scale = edge_dropout_scale(jnp.asarray(uids), jnp.asarray(iids),
+                                   salt, keep)
         return direction.w * scale.reshape(direction.w.shape)
 
     def __call__(self, x, salt, keep):
         salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
         keep_arr = jnp.asarray(keep, jnp.float32).reshape(1)
         out = None
-        for off, length, direction, uids, iids in self.splits:
+        for off, length, direction in self.splits:
             xs = jax.lax.dynamic_slice_in_dim(x, off, length, axis=0) \
                 if len(self.splits) > 1 else x
+            off_arr = jnp.asarray([off], jnp.uint32)
             part = pallas_spmm_dropout(
                 direction.group_ptr, direction.chunk_sb, salt_arr,
-                keep_arr, direction.packed, direction.w, uids, iids, xs,
+                keep_arr, off_arr, direction.packed, direction.w, xs,
                 n_dst_blocks=direction.n_dst_blocks,
                 max_groups=direction.max_groups,
                 src_block=direction.src_block,
                 dst_block=direction.dst_block,
+                user_axis=self.user_axis,
                 interpret=self.interpret)[:direction.n_dst]
             out = part if out is None else out + part
         return out
+
+    # pytree protocol (see ops/spmm.py)
+    def tree_flatten(self):
+        children = tuple(d for _, _, d in self.splits)
+        aux = (self.n_src, self.n_dst, self.user_axis, self.interpret,
+               self.src_block, self.dst_block,
+               tuple(off for off, _, _ in self.splits),
+               tuple(length for _, length, _ in self.splits))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = object.__new__(cls)
+        (op.n_src, op.n_dst, op.user_axis, op.interpret, op.src_block,
+         op.dst_block, offs, lengths) = aux
+        op.splits = list(zip(offs, lengths, children))
+        return op
+
+
+jax.tree_util.register_pytree_node_class(TiledSpMM)
+
+
+def _zeros_ct(tree):
+    """Zero cotangents for a non-differentiable array pytree: float0 for
+    integer leaves, zeros (DCE'd) for float leaves."""
+    return jax.tree.map(
+        lambda a: jnp.zeros_like(a)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact)
+        else np.zeros(jnp.shape(a), jax.dtypes.float0), tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pallas_graph_spmm(direction: str, op, x, salt, keep):
+    """One propagation direction through a ``PallasGraphOp`` pytree.
+
+    Forward runs the direction's tiled layout; backward runs the
+    transpose layout on the cotangent (both layouts are all-sorted).  The
+    op passes through as a pytree ARGUMENT so its layout arrays are jit
+    parameters, not embedded constants.
+    """
+    layout = op.l_i2u if direction == 'to_user' else op.l_u2i
+    return layout(x, salt, keep)
+
+
+def _pgs_fwd(direction, op, x, salt, keep):
+    return pallas_graph_spmm(direction, op, x, salt, keep), \
+        (op, salt, keep)
+
+
+def _pgs_bwd(direction, res, g):
+    op, salt, keep = res
+    layout = op.l_u2i if direction == 'to_user' else op.l_i2u
+    dx = layout(g, salt, keep)
+    return (_zeros_ct(op), dx, _zeros_ct(salt), jnp.zeros_like(keep))
+
+
+pallas_graph_spmm.defvjp(_pgs_fwd, _pgs_bwd)
 
 
 class PallasGraphOp:
@@ -586,7 +676,8 @@ class PallasGraphOp:
     Same interface as ``spmm.BipartiteGraphOp``: ``weights(key, dropout)``
     then ``to_user`` / ``to_item``.  Forward and backward of each direction
     run the kernel on transpose layouts (both all-sorted), wired through
-    ``jax.custom_vjp``.  Tables must be padded to SRC_BLOCK multiples.
+    the module-level ``pallas_graph_spmm`` custom VJP.  Tables must be
+    padded to SRC_BLOCK multiples.
     """
 
     def __init__(self, edge_user, edge_item, edge_weight,
@@ -602,24 +693,6 @@ class PallasGraphOp:
         self.l_u2i = TiledSpMM(eu, ei, w, n_users_t, n_items_t, d,
                                user_axis='src', interpret=interpret)
 
-        def make_fn(fwd_layout, bwd_layout):
-            @jax.custom_vjp
-            def f(x, salt, keep):
-                return fwd_layout(x, salt, keep)
-
-            def fwd(x, salt, keep):
-                return f(x, salt, keep), (salt, keep)
-
-            def bwd(res, g):
-                salt, keep = res
-                return (bwd_layout(g, salt, keep), None, None)
-
-            f.defvjp(fwd, bwd)
-            return f
-
-        self._to_user = make_fn(self.l_i2u, self.l_u2i)
-        self._to_item = make_fn(self.l_u2i, self.l_i2u)
-
     def weights(self, mask_key=None, dropout: float = 0.0):
         """Returns ((salt, keep) for i->u, (salt, keep) for u->i)."""
         if dropout <= 0.0 or mask_key is None:
@@ -632,8 +705,20 @@ class PallasGraphOp:
 
     def to_user(self, item_emb, w_pair):
         salt, keep = w_pair
-        return self._to_user(item_emb, salt, keep)
+        return pallas_graph_spmm('to_user', self, item_emb, salt, keep)
 
     def to_item(self, user_emb, w_pair):
         salt, keep = w_pair
-        return self._to_item(user_emb, salt, keep)
+        return pallas_graph_spmm('to_item', self, user_emb, salt, keep)
+
+    def tree_flatten(self):
+        return (self.l_i2u, self.l_u2i), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = object.__new__(cls)
+        op.l_i2u, op.l_u2i = children
+        return op
+
+
+jax.tree_util.register_pytree_node_class(PallasGraphOp)

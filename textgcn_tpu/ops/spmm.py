@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+
 @partial(jax.jit, static_argnames=('n_dst',))
 def _seg(x, src_idx, dst_idx, w, n_dst: int):
     return jax.ops.segment_sum(
@@ -164,3 +166,32 @@ class BipartiteGraphOp:
         w_fwd, w_bwd = w_pair
         return spmm(self.n_items, self.n_users, user_emb,
                     self._to_item_edges, w_fwd, w_bwd)
+
+    # --- pytree protocol ----------------------------------------------------
+    # Graph ops are jax pytrees so jitted callers take them as ARGUMENTS
+    # instead of closing over them: closed-over device arrays are embedded
+    # into the compiled program as constants, which bloats (and at
+    # multi-million-edge scale breaks) compilation, and is illegal for
+    # multi-controller global arrays.
+
+    def tree_flatten(self):
+        children = (self.eu_u, self.ei_u, self.eu_i, self.ei_i,
+                    self.perm_u2i, self.w_u)
+        # host-only data (_src numpy copies) is NOT part of the pytree:
+        # it is never read inside traced code, and aux_data must compare
+        # equal across flattenings for jit caching / vjp structure checks
+        return children, (self.n_users, self.n_items)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = object.__new__(cls)
+        op.n_users, op.n_items = aux
+        op._src = None  # host-only; absent on unflattened copies
+        (op.eu_u, op.ei_u, op.eu_i, op.ei_i, op.perm_u2i,
+         op.w_u) = children
+        op._to_user_edges = (op.ei_u, op.eu_u, op.ei_i, op.eu_i)
+        op._to_item_edges = (op.eu_i, op.ei_i, op.eu_u, op.ei_u)
+        return op
+
+
+jax.tree_util.register_pytree_node_class(BipartiteGraphOp)

@@ -34,6 +34,8 @@ back to the GSPMD segment-sum path otherwise.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +110,49 @@ class _StackedLayout:
         return (self.group_ptr, self.chunk_sb, self.packed, self.w,
                 self.dst_ids, self.src_ids)
 
+    # pytree protocol (see ops/spmm.py): layouts pass through jit as
+    # arguments, not embedded constants
+    def tree_flatten(self):
+        return self.arrays(), (self.user_axis, self.n_dst, self.src_block,
+                               self.dst_block, self.rows_per_dev,
+                               self.n_src_padded, self.n_dst_blocks,
+                               self.max_groups)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        la = object.__new__(cls)
+        (la.user_axis, la.n_dst, la.src_block, la.dst_block,
+         la.rows_per_dev, la.n_src_padded, la.n_dst_blocks,
+         la.max_groups) = aux
+        (la.group_ptr, la.chunk_sb, la.packed, la.w, la.dst_ids,
+         la.src_ids) = children
+        return la
+
+
+jax.tree_util.register_pytree_node_class(_StackedLayout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def mesh_graph_spmm(direction: str, op, x, salt, keep):
+    """One mesh-sharded propagation direction; op is a pytree argument."""
+    layout = op.l_i2u if direction == 'to_user' else op.l_u2i
+    return op._apply(layout, x, salt, keep)
+
+
+def _mgs_fwd(direction, op, x, salt, keep):
+    return mesh_graph_spmm(direction, op, x, salt, keep), (op, salt, keep)
+
+
+def _mgs_bwd(direction, res, g):
+    from ..ops.pallas_spmm import _zeros_ct
+    op, salt, keep = res
+    layout = op.l_u2i if direction == 'to_user' else op.l_i2u
+    dx = op._apply(layout, g, salt, keep)
+    return (_zeros_ct(op), dx, _zeros_ct(salt), jnp.zeros_like(keep))
+
+
+mesh_graph_spmm.defvjp(_mgs_fwd, _mgs_bwd)
+
 
 class MeshPallasGraphOp:
     """Drop-in for ``PallasGraphOp`` running the kernel on source-sharded
@@ -156,9 +201,6 @@ class MeshPallasGraphOp:
         self.l_u2i = _StackedLayout(eu, ei, w, n_users_t, n_items_t,
                                     n_dev, 'src', sb_u, db_u)
 
-        self._to_user = self._make_fn(self.l_i2u, self.l_u2i)
-        self._to_item = self._make_fn(self.l_u2i, self.l_i2u)
-
     # one shard_map'd partial-SpMM over the local source slice + psum
     def _apply(self, layout, x, salt, keep):
         axes = self.axes
@@ -192,23 +234,6 @@ class MeshPallasGraphOp:
         return fn(*layout.arrays()[:4], layout.dst_ids, layout.src_ids,
                   x, salt, keep)
 
-    def _make_fn(self, fwd_layout, bwd_layout):
-        apply = self._apply
-
-        @jax.custom_vjp
-        def f(x, salt, keep):
-            return apply(fwd_layout, x, salt, keep)
-
-        def fwd(x, salt, keep):
-            return f(x, salt, keep), (salt, keep)
-
-        def bwd(res, g):
-            salt, keep = res
-            return (apply(bwd_layout, g, salt, keep), None, None)
-
-        f.defvjp(fwd, bwd)
-        return f
-
     def weights(self, mask_key=None, dropout: float = 0.0):
         if dropout <= 0.0 or mask_key is None:
             zero = jnp.uint32(0)
@@ -220,8 +245,22 @@ class MeshPallasGraphOp:
 
     def to_user(self, item_emb, w_pair):
         salt, keep = w_pair
-        return self._to_user(item_emb, salt, keep)
+        return mesh_graph_spmm('to_user', self, item_emb, salt, keep)
 
     def to_item(self, user_emb, w_pair):
         salt, keep = w_pair
-        return self._to_item(user_emb, salt, keep)
+        return mesh_graph_spmm('to_item', self, user_emb, salt, keep)
+
+    def tree_flatten(self):
+        return (self.l_i2u, self.l_u2i), (self.mesh, self.interpret,
+                                          self.axes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = object.__new__(cls)
+        op.mesh, op.interpret, op.axes = aux
+        op.l_i2u, op.l_u2i = children
+        return op
+
+
+jax.tree_util.register_pytree_node_class(MeshPallasGraphOp)

@@ -116,63 +116,77 @@ class Trainer:
             batch_sh = NamedSharding(self.mesh,
                                      PartitionSpec(None, DATA_AXIS))
 
-        def epoch(params, opt_state, key):
-            k_sample, k_drop = jax.random.split(key)
-            batches = model.sample_batches(k_sample, cfg.batch_size)
-            if batch_sh is not None:
-                batches = tuple(
-                    jax.lax.with_sharding_constraint(b, batch_sh)
-                    for b in batches)
-            drop_keys = jax.random.split(k_drop, n_batches)
+        def epoch(params, opt_state, key, captured):
+            # model device arrays enter as jit ARGUMENTS (via `captured`)
+            # and are rebound for the duration of the trace — closing
+            # over them would embed them as compiled-program constants
+            with model.bound(captured):
+                k_sample, k_drop = jax.random.split(key)
+                batches = model.sample_batches(k_sample, cfg.batch_size)
+                if batch_sh is not None:
+                    batches = tuple(
+                        jax.lax.with_sharding_constraint(b, batch_sh)
+                        for b in batches)
+                drop_keys = jax.random.split(k_drop, n_batches)
 
-            def step(carry, xs):
-                params, opt_state = carry
-                *batch, dk = xs
-                (loss, aux), grads = jax.value_and_grad(
-                    model.loss, has_aux=True)(params, tuple(batch), dk)
-                updates, opt_state = self.optimizer.update(
-                    grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss,
-                                             *(aux[c] for c in comps))
+                def step(carry, xs):
+                    params, opt_state = carry
+                    *batch, dk = xs
+                    (loss, aux), grads = jax.value_and_grad(
+                        model.loss, has_aux=True)(params, tuple(batch),
+                                                  dk)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), (loss,
+                                                 *(aux[c] for c in comps))
 
-            (params, opt_state), (losses, *comp_vals) = jax.lax.scan(
-                step, (params, opt_state), (*batches, drop_keys))
+                (params, opt_state), (losses, *comp_vals) = jax.lax.scan(
+                    step, (params, opt_state), (*batches, drop_keys))
             sums = {c: v.sum() for c, v in zip(comps, comp_vals)}
             sums['loss'] = losses.sum()
             sums['nan'] = jnp.isnan(losses).any()
             return params, opt_state, sums
 
-        return jax.jit(epoch, donate_argnums=(0, 1))
+        jitted = jax.jit(epoch, donate_argnums=(0, 1))
+        captured = model.captured_state()
+        return lambda params, opt_state, key: jitted(params, opt_state,
+                                                     key, captured)
 
     def _make_eval_fn(self):
         model, mesh = self.model, self.mesh
         max_k = max(self.k)
 
-        def eval_batches(params, users_matrix):
-            reprs = model.representation(params, training=False)
+        def eval_batches(params, users_matrix, captured):
+            with model.bound(captured):
+                reprs = model.representation(params, training=False)
 
-            plain = getattr(model, 'supports_plain_sharded_topk', True)
+                plain = getattr(model, 'supports_plain_sharded_topk',
+                                True)
 
-            def one_batch(_, bu):
-                if mesh is not None and plain:
-                    from ..parallel.sharded import sharded_topk
-                    users_repr, items_repr = reprs
-                    vals, idx = sharded_topk(
-                        mesh, users_repr[bu], items_repr,
-                        model.pos_padded[bu], max_k,
-                        n_valid=model.n_items)
-                else:
-                    # head-aware path (LTR fused scoring); under a mesh
-                    # GSPMD still partitions the score matmul
-                    vals, idx = model.topk_for_users(params, reprs, bu,
-                                                     max_k)
-                return None, (vals, idx)
+                def one_batch(_, bu):
+                    if mesh is not None and plain:
+                        from ..parallel.sharded import sharded_topk
+                        users_repr, items_repr = reprs
+                        vals, idx = sharded_topk(
+                            mesh, users_repr[bu], items_repr,
+                            model.pos_padded[bu], max_k,
+                            n_valid=model.n_items)
+                    else:
+                        # head-aware path (LTR fused scoring); under a
+                        # mesh GSPMD still partitions the score matmul
+                        vals, idx = model.topk_for_users(params, reprs,
+                                                         bu, max_k)
+                    return None, (vals, idx)
 
-            _, (vals, idx) = jax.lax.scan(one_batch, None, users_matrix)
+                _, (vals, idx) = jax.lax.scan(one_batch, None,
+                                              users_matrix)
             return vals, idx
 
-        return jax.jit(eval_batches)
+        jitted = jax.jit(eval_batches)
+        captured = model.captured_state()
+        return lambda params, users_matrix: jitted(params, users_matrix,
+                                                   captured)
 
     # ------------------------------------------------------------------
     # public API

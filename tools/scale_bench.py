@@ -73,7 +73,7 @@ def build_step(graph_op, n_users_t, n_items_t, n_users, n_items):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    def loss_fn(params, users, pos, negs, key):
+    def loss_fn(params, graph_op, users, pos, negs, key):
         u_repr, i_repr = representation(
             params, graph_op, LAYERS, single=False, dropout=DROPOUT,
             dropout_key=key)
@@ -85,27 +85,31 @@ def build_step(graph_op, n_users_t, n_items_t, n_users, n_items):
                 + reg_loss(params['user_emb'], params['item_emb'],
                            users, pos, negs, mask, 1e-4))
 
-    def step(carry, key):
-        params, opt_state = carry
-        k_b, k_d = jax.random.split(key)
-        ku, kp, kn = jax.random.split(k_b, 3)
-        users = jax.random.randint(ku, (BATCH,), 0, n_users)
-        pos = jax.random.randint(kp, (BATCH,), 0, n_items)
-        negs = jax.random.randint(kn, (BATCH, 1), 0, n_items)
-        loss, grads = jax.value_and_grad(loss_fn)(params, users, pos,
-                                                  negs, k_d)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
     def make_run(n_steps):
+        # the graph op is a jit ARGUMENT (pytree): its layout arrays stay
+        # out of the compiled program (the remote compile service rejects
+        # multi-hundred-MB constant-embedded HLO with HTTP 413)
         @jax.jit
-        def run(params, opt_state, key):
+        def run(params, opt_state, key, graph_op):
+            def step(carry, key):
+                params, opt_state = carry
+                k_b, k_d = jax.random.split(key)
+                ku, kp, kn = jax.random.split(k_b, 3)
+                users = jax.random.randint(ku, (BATCH,), 0, n_users)
+                pos = jax.random.randint(kp, (BATCH,), 0, n_items)
+                negs = jax.random.randint(kn, (BATCH, 1), 0, n_items)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, graph_op, users, pos, negs, k_d)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
             keys = jax.random.split(key, n_steps)
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), keys)
             return losses.sum()
-        return run
+        return lambda p, o, k: run(p, o, k, graph_op)
 
     return params, opt_state, make_run
 
@@ -143,7 +147,7 @@ def time_eval(n_items, n_eval_users=4096, max_deg=32):
 
     def run_n(n):
         @jax.jit
-        def f(users_emb):
+        def f(users_emb, items_emb, pos):
             acc = jnp.float32(0)
             for _ in range(n):
                 u = users_emb.reshape(-1, BATCH, EMB)
@@ -162,13 +166,13 @@ def time_eval(n_items, n_eval_users=4096, max_deg=32):
         return f
 
     f1, f2 = run_n(1), run_n(4)
-    float(f1(users_emb))
-    float(f2(users_emb))
+    float(f1(users_emb, items_emb, pos))
+    float(f2(users_emb, items_emb, pos))
 
     def t(f, reps=3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            float(f(users_emb))
+            float(f(users_emb, items_emb, pos))
         return (time.perf_counter() - t0) / reps
 
     per_pass = (t(f2) - t(f1)) / 3
