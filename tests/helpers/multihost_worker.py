@@ -11,7 +11,11 @@ Each process gets 2 virtual CPU devices (4 global), initializes through
 2. a cooperative Orbax save of the global sharded params + restore +
    bit-equality;
 3. the primary-only guards on pickle checkpointing and predictions.tsv
-   export via a real (process-local) Trainer.
+   export via a real (process-local) Trainer;
+4. the FULL mesh Trainer (fit + evaluate over the global 4-device mesh):
+   two epochs with eval each — possible because jitted drivers take all
+   model device arrays as arguments (multi-controller JAX forbids
+   closing over global arrays).
 
 Prints one final line ``MULTIHOST_OK pid=<p> loss=<loss>`` on success.
 """
@@ -116,4 +120,20 @@ assert wrote_ckpt == (pid == 0), \
 assert wrote_preds == (pid == 0), \
     f'predictions guard broken: pid={pid} wrote={wrote_preds}'
 
-print(f'MULTIHOST_OK pid={pid} loss={loss:.8f}', flush=True)
+# --- 4. full mesh Trainer across both processes ----------------------------
+from textgcn_tpu.parallel.mesh import shard_model  # noqa: E402
+
+shared_dir = os.path.join(out_dir, 'mesh_run')
+cfg4, data4, model4 = ge._build(
+    dict(mesh='2x2', epochs=2, evaluate_every=1, save=True,
+         ckpt_backend='orbax', save_path=shared_dir), pad_multiple=4)
+model4 = shard_model(mesh, model4)
+trainer4 = Trainer(cfg4, model4, data4, mesh=mesh)
+trainer4.fit()
+recalls = trainer4.metrics_logger['recall']
+assert len(recalls) == 2 and np.isfinite(recalls).all()
+assert os.path.exists(os.path.join(shared_dir,
+                                   'latest_checkpoint.orbax'))
+
+print(f'MULTIHOST_OK pid={pid} loss={loss:.8f} '
+      f'recall={float(recalls[-1][0]):.6f}', flush=True)

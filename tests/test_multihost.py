@@ -32,7 +32,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -43,8 +43,11 @@ def test_two_process_distributed(tmp_path):
     lines = [line for out in outs for line in out.splitlines()
              if line.startswith('MULTIHOST_OK')]
     assert len(lines) == 2, outs
-    losses = {line.split('loss=')[1] for line in lines}
+    losses = {line.split('loss=')[1].split()[0] for line in lines}
     assert len(losses) == 1, f'processes disagree on loss: {lines}'
+    recalls = {line.split('recall=')[1] for line in lines}
+    assert len(recalls) == 1, \
+        f'processes disagree on trainer eval: {lines}'
     # the cooperative orbax checkpoint exists exactly once, shared
     assert os.path.exists(tmp_path / 'ckpt' / 'latest_checkpoint.orbax')
     # only the primary wrote pickle artifacts

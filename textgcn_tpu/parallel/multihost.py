@@ -20,12 +20,13 @@ Failure recovery is restart-from-checkpoint: rerun the same command with
 
 Verified behavior (tests/test_multihost.py, real 2-process run against a
 127.0.0.1 coordinator): env-var initialize, sharded step with the
-framework's sharding conventions, cooperative Orbax save/restore, and the
-primary-only pickle/prediction guards.  Known limit: the whole-epoch
-jitted Trainer closes over device-resident graph/positives arrays, which
-multi-controller JAX forbids spanning non-addressable devices — the full
-Trainer currently runs single-controller (one process per mesh); lifting
-that needs the graph-op arrays threaded as jit arguments.
+framework's sharding conventions, cooperative Orbax save/restore, the
+primary-only pickle/prediction guards, and the FULL mesh Trainer —
+fit + evaluate + orbax checkpointing over the global device mesh with
+identical losses/metrics on every process.  (Possible because every
+jitted driver takes the model's device arrays as arguments — graph ops
+are pytrees — instead of closing over them, which multi-controller JAX
+forbids for global arrays.)
 """
 
 from __future__ import annotations

@@ -71,7 +71,15 @@ class OrbaxCheckpointer:
         os.makedirs(save_path, exist_ok=True)
         target = os.path.abspath(
             os.path.join(save_path, self.latest_name))
-        if os.path.exists(target):
+        # clearing the previous checkpoint is a filesystem mutation on a
+        # shared path: primary-only, with a barrier so no process starts
+        # the cooperative save into a directory mid-deletion
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            if jax.process_index() == 0 and os.path.exists(target):
+                shutil.rmtree(target)
+            multihost_utils.sync_global_devices('textgcn_ckpt_clear')
+        elif os.path.exists(target):
             shutil.rmtree(target)
         meta = {k: v for k, v in state.items() if k != 'params'}
         self._ckptr.save(target, {'params': state['params'],
