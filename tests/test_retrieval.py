@@ -57,3 +57,33 @@ def test_merge_topk(rng):
         order = np.argsort(-flat_v)[:k]
         np.testing.assert_allclose(mv[r], flat_v[order], rtol=1e-6)
         np.testing.assert_array_equal(mi[r], flat_i[order])
+
+
+def test_blocked_exact_topk_matches_monolithic(rng):
+    """Two-stage blocked top-k == lax.top_k exactly (distinct scores)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textgcn_tpu.ops import retrieval as R
+
+    scores = jnp.asarray(
+        rng.permutation(40_000 * 4).reshape(4, 40_000).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(scores, 40)
+    try:
+        R.BLOCKED_TOPK_MIN, saved = 1, R.BLOCKED_TOPK_MIN
+        v, i = R.exact_top_k(scores, 40)
+    finally:
+        R.BLOCKED_TOPK_MIN = saved
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    # non-multiple-of-block catalog width (exercises -inf padding)
+    scores = jnp.asarray(rng.permutation(13_777 * 3).reshape(3, 13_777)
+                         .astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(scores, 25)
+    try:
+        R.BLOCKED_TOPK_MIN, saved = 1, R.BLOCKED_TOPK_MIN
+        v, i = R.exact_top_k(scores, 25)
+    finally:
+        R.BLOCKED_TOPK_MIN = saved
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))

@@ -18,6 +18,50 @@ import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
 
+# two-stage blocked top-k: per-block top-k then top-k over the G*k
+# candidates — EXACT for k <= block size, and much cheaper than one
+# monolithic lax.top_k over a large catalog axis.  Auto-enabled for
+# catalogs >= BLOCKED_TOPK_MIN items; override with
+# TEXTGCN_TPU_BLOCKED_TOPK=0|1.
+TOPK_BLOCK = 8192
+BLOCKED_TOPK_MIN = 16384
+
+
+def _use_blocked(n: int) -> bool:
+    import os
+    env = os.environ.get('TEXTGCN_TPU_BLOCKED_TOPK', '')
+    if env in ('0', '1'):
+        return env == '1'
+    return n >= BLOCKED_TOPK_MIN
+
+
+def exact_top_k(scores, k: int):
+    """Exact top-k over the last axis, blocked for large catalogs.
+
+    Stage 1 takes top-k within each TOPK_BLOCK-wide block (small parallel
+    sorts); stage 2 re-top-ks the G*k survivors.  Any global top-k element
+    is also in its own block's top-k, so the result equals
+    ``lax.top_k(scores, k)`` (modulo tie order across blocks).
+    """
+    n = scores.shape[-1]
+    if not _use_blocked(n) or k > TOPK_BLOCK:
+        return jax.lax.top_k(scores, k)
+    g = -(-n // TOPK_BLOCK)
+    pad = g * TOPK_BLOCK - n
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((*scores.shape[:-1], pad), NEG_INF,
+                              scores.dtype)], axis=-1)
+    blocked = scores.reshape(*scores.shape[:-1], g, TOPK_BLOCK)
+    vals, local = jax.lax.top_k(blocked, k)              # (..., G, k)
+    base = (jnp.arange(g, dtype=jnp.int32)
+            * TOPK_BLOCK)[..., :, None]                  # (G, 1)
+    idx = local + base
+    flat_v = vals.reshape(*scores.shape[:-1], g * k)
+    flat_i = idx.reshape(*scores.shape[:-1], g * k)
+    top_v, pos = jax.lax.top_k(flat_v, k)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=-1)
+
 
 def mask_train_items(scores, batch_pos_padded, n_items: int):
     """Set scores of already-interacted items to -inf.
@@ -46,7 +90,7 @@ def score_and_topk(users_emb, items_emb, batch_pos_padded, *, k: int,
     scores = jnp.dot(users_emb, items_emb.T,
                      preferred_element_type=jnp.float32)
     scores = mask_train_items(scores, batch_pos_padded, n_items)
-    return jax.lax.top_k(scores, k)
+    return exact_top_k(scores, k)
 
 
 @partial(jax.jit, static_argnames=('k', 'n_items'))
@@ -54,7 +98,7 @@ def topk_from_scores(scores, batch_pos_padded, *, k: int, n_items: int):
     """Train-mask precomputed scores and take top-k (LTR heads compute their
     own score tensors before retrieval)."""
     scores = mask_train_items(scores, batch_pos_padded, n_items)
-    return jax.lax.top_k(scores, k)
+    return exact_top_k(scores, k)
 
 
 def merge_topk(values, indices, k: int):
