@@ -56,11 +56,13 @@ def bench_jax(steps=30, warmup=5):
 
     from textgcn_tpu.models.losses import bpr_loss, reg_loss
     from textgcn_tpu.ops.propagate import representation
-    from textgcn_tpu.ops.pallas_spmm import SRC_BLOCK, PallasGraphOp
+    from textgcn_tpu.ops.pallas_spmm import PallasGraphOp
 
     eu, ei, w = synth_edges()
-    n_users_t = -(-N_USERS // SRC_BLOCK) * SRC_BLOCK
-    n_items_t = -(-N_ITEMS // SRC_BLOCK) * SRC_BLOCK
+    # table rows rounded like the LightGCN model (4096) so this bench and
+    # the adv_sampling model bench share compiled kernel variants
+    n_users_t = -(-N_USERS // 4096) * 4096
+    n_items_t = -(-N_ITEMS // 4096) * 4096
     graph_op = PallasGraphOp(eu, ei, w, n_users_t, n_items_t, EMB)
 
     key = jax.random.key(0)
