@@ -45,6 +45,7 @@ class LTRGradientBoosted(LTRLinear):
         super().__init__(cfg, data)
         self.tree = self._make_tree(cfg)
         self._tree_fitted = False
+        self._forest = None
 
     def _make_tree(self, cfg):
         if 'xgboost' in cfg.model:
@@ -113,12 +114,48 @@ class LTRGradientBoosted(LTRLinear):
                 self.tree.fit(x, y)
             warm = True
         self._tree_fitted = True
+        self._forest = None
         return list(zip(self.feature_names,
                         getattr(self.tree, 'feature_importances_', [])))
 
     # --- scoring through the trees ------------------------------------------
 
+    def make_tree_scorer(self, params, reprs):
+        """One jitted (batch_users) -> (B, n_items_t) scorer through the
+        fitted ensemble.
+
+        The ensemble is compiled to a :class:`~textgcn_tpu.ops.trees.Forest`
+        and evaluated on device as three dense contractions per tree —
+        the reference's host-side ``tree.predict`` over B * n_items rows
+        (``ltr_gradient_boosted.py:84-96``) is a per-row pointer chase
+        that dominated eval (401 s/pass on a 5k-user synthetic).  Falls
+        back to the host path for non-sklearn ensembles."""
+        from ..ops.trees import compile_forest, forest_predict
+
+        forest = getattr(self, '_forest', None)
+        if forest is None and self._tree_fitted:
+            forest = self._forest = compile_forest(self.tree,
+                                                   self.n_features)
+        if forest is None:
+            return lambda bu: self.tree_scores(params, reprs, bu)
+
+        @jax.jit
+        def score(captured, params, reprs, forest, bu):
+            with self.bound(captured):
+                feats = self.batch_features(params, reprs, bu)
+            preds = forest_predict(
+                forest, feats.reshape(-1, feats.shape[-1]))
+            preds = preds.reshape(feats.shape[:2])
+            pad = self.n_items_t - self.n_items
+            return jnp.pad(preds, ((0, 0), (0, pad)),
+                           constant_values=-jnp.inf)
+
+        captured = self.captured_state()
+        return lambda bu: score(captured, params, reprs, forest, bu)
+
     def tree_scores(self, params, reprs, batch_users):
+        """Host-side scoring fallback (one batch; prefer
+        ``make_tree_scorer`` which keeps the whole pass on device)."""
         feats = np.asarray(jax.jit(
             lambda p, bu: self.batch_features(p, reprs, bu))(
             params, batch_users))
@@ -158,6 +195,7 @@ class BoostedTrainer:
             with open(tree_path, 'rb') as f:
                 self.model.tree = pickle.load(f)
             self.model._tree_fitted = True
+            self.model._forest = None
             log.info('Restored fitted tree ensemble from %s', tree_path)
 
     def fit(self):
@@ -195,9 +233,10 @@ class BoostedTrainer:
         max_k = max(self.inner.k)
         preds, scores = [], []
         bs = self.cfg.batch_size
+        scorer = model.make_tree_scorer(params, reprs)
         for start in range(0, len(users), bs):
             bu = jnp.asarray(users[start:start + bs])
-            s = model.tree_scores(params, reprs, bu)
+            s = scorer(bu)
             vals, idx = topk_from_scores(s, model.pos_padded[bu],
                                          k=max_k, n_items=model.n_items)
             preds.append(np.asarray(idx))
@@ -233,9 +272,10 @@ class BoostedTrainer:
         preds = []
         bs = self.cfg.batch_size
         tu = self.data.test_users
+        scorer = model.make_tree_scorer(params, reprs)
         for start in range(0, len(tu), bs):
             bu = jnp.asarray(tu[start:start + bs])
-            scores = model.tree_scores(params, reprs, bu)
+            scores = scorer(bu)
             _, idx = topk_from_scores(scores, model.pos_padded[bu],
                                       k=max_k, n_items=model.n_items)
             preds.append(np.asarray(idx))
@@ -315,6 +355,7 @@ class MarcusGradientBoosted(LTRGradientBoosted):
         except TypeError:
             self.tree.fit(x, y)
         self._tree_fitted = True
+        self._forest = None
         return list(zip(self.feature_names,
                         getattr(self.tree, 'feature_importances_', [])))
 
@@ -323,6 +364,8 @@ class LTRGradientBoostedWPop(LTRGradientBoosted):
     """+ popularity features (reference ``ltr_gradient_boosted.py:99-154``)."""
 
     n_extra_features = 2
+    captured_attrs = LTRGradientBoosted.captured_attrs + (
+        'popularity_users', 'popularity_items')
 
     def __init__(self, cfg, data):
         super().__init__(cfg, data)

@@ -227,22 +227,39 @@ def pallas_spmm_dropout(group_ptr, chunk_sb, salt, keep, off, packed, w,
 def plan_tile_blocks(n_edges: int, n_src: int, n_dst: int):
     """Pick (src_block, dst_block) for the graph's density.
 
-    Padding inflation per tile is ~1 + CHUNK/(2*lambda) with
-    lambda = S*D*density expected edges per tile; per-edge MXU work is
-    (S + D)*d*2.  Minimize their product over power-of-two blocks.
-    Sparse graphs get bigger tiles; dst_local must fit 15 bits
-    (packed int32), so blocks cap at 4096.
+    Sweep-calibrated rule (tools/block_sweep.py on a 200k x 80k / 2M-edge
+    graph, v5e): padding inflation per tile is ~1 + CHUNK/(2*lambda) with
+    lambda = S*D*density expected edges per tile.  Grow blocks from
+    (512, 512) until lambda >= 64 (pad <= 2), doubling the block on the
+    axis with MORE ROWS first — the bigger axis has more, sparser blocks,
+    so widening it both raises lambda and cuts per-block grid overhead.
+    Stop as soon as lambda clears the bar: larger tiles past that point
+    cost more one-hot VPU/MXU work per edge than the padding they save
+    (measured: at the sweep density, (1024, 512)/(512, 1024) per
+    direction beat both (512, 512) — 2.8x on the long-dst direction —
+    and (2048, *) / (*, 2048)).  Blocks cap at 4096 (dst_local must fit
+    15 bits in the packed int32; and a 4096-row one-hot is already
+    ~30 us of pure iota-compare per chunk).
     """
     density = n_edges / max(n_src * n_dst, 1)
-    best = None
-    for s in (512, 1024, 2048, 4096):
-        for dblk in (512, 1024, 2048, 4096):
-            lam = s * dblk * density
-            pad = 1.0 + CHUNK / (2.0 * max(lam, 1.0))
-            cost = (s + dblk) * pad
-            if best is None or cost < best[0]:
-                best = (cost, s, dblk)
-    return best[1], best[2]
+    s, dblk = 512, 512
+
+    def lam():
+        return s * dblk * density
+
+    # blocks may exceed 1024 only in the ultra-sparse regime (lambda still
+    # < 24 after both axes reach 1024): the sweep measured (2048, *) and
+    # (*, 2048) strictly worse at moderate sparsity even at equal lambda.
+    def can_grow(blk):
+        return blk < 1024 or (blk < 4096 and lam() < 24.0)
+
+    while lam() < 48.0 and (can_grow(s) or can_grow(dblk)):
+        grow_src = n_src / s >= n_dst / dblk
+        if can_grow(s) and (grow_src or not can_grow(dblk)):
+            s *= 2
+        else:
+            dblk *= 2
+    return s, dblk
 
 
 @functools.partial(jax.jit, static_argnames=('n_dst_blocks', 'max_groups',
