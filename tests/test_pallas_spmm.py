@@ -54,7 +54,8 @@ def test_graph_op_matches_xla_backend(rng, dummy_data):
     xla_op = BipartiteGraphOp(g.edge_user, g.edge_item, g.edge_weight,
                               nu_t, ni_t)
     pl_op = PallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
-                          nu_t, ni_t, d, interpret=True)
+                          nu_t, ni_t, d, interpret=True,
+                          x_dtype=jnp.float32)
     u1, i1 = representation(params, xla_op, 3, single=False)
     u2, i2 = representation(params, pl_op, 3, single=False)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-4)
@@ -80,7 +81,8 @@ def test_custom_vjp_grad_matches_xla(rng, dummy_data):
     xla_op = BipartiteGraphOp(g.edge_user, g.edge_item, g.edge_weight,
                               nu_t, ni_t)
     pl_op = PallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
-                          nu_t, ni_t, d, interpret=True)
+                          nu_t, ni_t, d, interpret=True,
+                          x_dtype=jnp.float32)
 
     def loss(p, op):
         u, i = representation(p, op, 2, single=False)
@@ -173,7 +175,7 @@ def test_split_shapes_unified_one_kernel_variant(rng):
     full = TiledSpMM(src, dst, w, ni_t, nu, d, user_axis='dst',
                      interpret=True)
     split = TiledSpMM.__new__(TiledSpMM)
-    split.VMEM_X_BUDGET = 2 * SRC_BLOCK * d * 4  # 1024-row windows
+    split.VMEM_X_BUDGET = 2 * SRC_BLOCK * d * 2  # 1024-row windows (bf16)
     split.__init__(src, dst, w, ni_t, nu, d, user_axis='dst',
                    interpret=True)
     assert len(split.splits) == 2
@@ -191,3 +193,24 @@ def test_split_shapes_unified_one_kernel_variant(rng):
     np.testing.assert_allclose(np.asarray(full(x, salt, keep)),
                                np.asarray(split(x, salt, keep)),
                                atol=1e-4)
+
+
+def test_default_bf16_x_within_tolerance(rng, dummy_data):
+    """The production default feeds the kernel a bf16 x (numerically free
+    at DEFAULT matmul precision on TPU); outputs stay within bf16
+    rounding of the exact f32 path."""
+    g = dummy_data.graph
+    nu_t = ni_t = SRC_BLOCK
+    d = 16
+    exact = PallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
+                          nu_t, ni_t, d, interpret=True,
+                          x_dtype=jnp.float32)
+    dflt = PallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
+                         nu_t, ni_t, d, interpret=True)
+    assert dflt.l_i2u.x_dtype == jnp.bfloat16
+    x = jnp.asarray(rng.randn(ni_t, d).astype(np.float32))
+    wp = dflt.weights()
+    a = np.asarray(exact.to_user(x, wp[0]))
+    b = np.asarray(dflt.to_user(x, wp[0]))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=0.01 * scale)

@@ -59,8 +59,8 @@ def test_merge_topk(rng):
         np.testing.assert_array_equal(mi[r], flat_i[order])
 
 
-def test_blocked_exact_topk_matches_monolithic(rng):
-    """Two-stage blocked top-k == lax.top_k exactly (distinct scores)."""
+def test_blocked_exact_topk_matches_monolithic(rng, monkeypatch):
+    """Opt-in blocked top-k == lax.top_k exactly (distinct scores)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,21 +69,36 @@ def test_blocked_exact_topk_matches_monolithic(rng):
     scores = jnp.asarray(
         rng.permutation(40_000 * 4).reshape(4, 40_000).astype(np.float32))
     v_ref, i_ref = jax.lax.top_k(scores, 40)
-    try:
-        R.BLOCKED_TOPK_MIN, saved = 1, R.BLOCKED_TOPK_MIN
-        v, i = R.exact_top_k(scores, 40)
-    finally:
-        R.BLOCKED_TOPK_MIN = saved
+    monkeypatch.setenv('TEXTGCN_TPU_BLOCKED_TOPK', '1')
+    v, i = R.exact_top_k(scores, 40)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     # non-multiple-of-block catalog width (exercises -inf padding)
     scores = jnp.asarray(rng.permutation(13_777 * 3).reshape(3, 13_777)
                          .astype(np.float32))
     v_ref, i_ref = jax.lax.top_k(scores, 25)
-    try:
-        R.BLOCKED_TOPK_MIN, saved = 1, R.BLOCKED_TOPK_MIN
-        v, i = R.exact_top_k(scores, 25)
-    finally:
-        R.BLOCKED_TOPK_MIN = saved
+    v, i = R.exact_top_k(scores, 25)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_approx_topk_env_optin(rng, monkeypatch):
+    """TEXTGCN_TPU_APPROX_TOPK routes through lax.approx_max_k (exact on
+    CPU, so results match; on TPU it trades recall for speed)."""
+    import jax
+
+    from textgcn_tpu.ops import retrieval as R
+
+    scores = jnp.asarray(rng.randn(4, 5000).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(scores, 10)
+    monkeypatch.setenv('TEXTGCN_TPU_APPROX_TOPK', '0.95')
+    v, i = R.catalog_top_k(scores, 10)
+    assert v.shape == (4, 10) and i.shape == (4, 10)
+    # every returned item must be a genuine catalog item with its true score
+    np.testing.assert_allclose(
+        np.asarray(v),
+        np.take_along_axis(np.asarray(scores), np.asarray(i), axis=1))
+    # bad values of the env fall back to exact
+    monkeypatch.setenv('TEXTGCN_TPU_APPROX_TOPK', 'nope')
+    v2, i2 = R.catalog_top_k(scores, 10)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))

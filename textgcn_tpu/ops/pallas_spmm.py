@@ -84,7 +84,7 @@ def _make_kernel(src_block: int, dst_block: int):
 
                 s_gather = (src_local[:, None]
                             == jax.lax.broadcasted_iota(
-                    jnp.int32, (CHUNK, src_block), 1)).astype(jnp.float32)
+                    jnp.int32, (CHUNK, src_block), 1)).astype(xb.dtype)
                 rows = jnp.dot(s_gather, xb, precision=PRECISION,
                                preferred_element_type=jnp.float32)
                 rows_all.append(rows * w_ref[0, j, :][:, None])
@@ -144,7 +144,7 @@ def _make_dropout_kernel(src_block: int, dst_block: int, user_axis: str):
 
                 s_gather = (src_local[:, None]
                             == jax.lax.broadcasted_iota(
-                    jnp.int32, (CHUNK, src_block), 1)).astype(jnp.float32)
+                    jnp.int32, (CHUNK, src_block), 1)).astype(xb.dtype)
                 rows = jnp.dot(s_gather, xb, precision=PRECISION,
                                preferred_element_type=jnp.float32)
 
@@ -523,11 +523,21 @@ class TiledSpMM:
     def __init__(self, src, dst, w, n_src: int, n_dst: int, d: int,
                  user_axis: str, interpret: bool = False,
                  src_block: int | None = None,
-                 dst_block: int | None = None):
+                 dst_block: int | None = None,
+                 x_dtype=None):
         self.n_src = int(n_src)
         self.n_dst = int(n_dst)
         self.user_axis = user_axis
         self.interpret = interpret
+        # At DEFAULT precision the one-hot matmul rounds table values to
+        # bf16 anyway, so feeding the kernel a bf16 x is numerically free
+        # — and it halves the per-split VMEM slice (half the source
+        # splits, half the x HBM->VMEM traffic).  HIGHEST keeps f32.
+        if x_dtype is None:
+            x_dtype = (jnp.bfloat16
+                       if PRECISION == jax.lax.Precision.DEFAULT
+                       else jnp.float32)
+        self.x_dtype = jnp.dtype(x_dtype)
         if src_block is None or dst_block is None:
             sb_auto, db_auto = plan_tile_blocks(len(np.asarray(src)),
                                                 n_src, n_dst)
@@ -539,7 +549,7 @@ class TiledSpMM:
         self.src_block, self.dst_block = src_block, dst_block
         bytes_per_split = self.VMEM_X_BUDGET
         rows_per_split = max(src_block,
-                             (bytes_per_split // (d * 4))
+                             (bytes_per_split // (d * self.x_dtype.itemsize))
                              // src_block * src_block)
         self.splits = []
         src = np.asarray(src)
@@ -612,6 +622,7 @@ class TiledSpMM:
     def __call__(self, x, salt, keep):
         salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
         keep_arr = jnp.asarray(keep, jnp.float32).reshape(1)
+        x = x.astype(self.x_dtype)
         out = None
         for off, length, direction in self.splits:
             xs = jax.lax.dynamic_slice_in_dim(x, off, length, axis=0) \
@@ -633,7 +644,7 @@ class TiledSpMM:
     def tree_flatten(self):
         children = tuple(d for _, _, d in self.splits)
         aux = (self.n_src, self.n_dst, self.user_axis, self.interpret,
-               self.src_block, self.dst_block,
+               self.src_block, self.dst_block, self.x_dtype,
                tuple(off for off, _, _ in self.splits),
                tuple(length for _, length, _ in self.splits))
         return children, aux
@@ -642,7 +653,7 @@ class TiledSpMM:
     def tree_unflatten(cls, aux, children):
         op = object.__new__(cls)
         (op.n_src, op.n_dst, op.user_axis, op.interpret, op.src_block,
-         op.dst_block, offs, lengths) = aux
+         op.dst_block, op.x_dtype, offs, lengths) = aux
         op.splits = list(zip(offs, lengths, children))
         return op
 
@@ -699,16 +710,18 @@ class PallasGraphOp:
 
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, d: int,
-                 interpret: bool = False):
+                 interpret: bool = False, x_dtype=None):
         assert n_users_t % SRC_BLOCK == 0 and n_items_t % SRC_BLOCK == 0, \
             'tables must be padded to SRC_BLOCK for the pallas backend'
         eu = np.asarray(edge_user)
         ei = np.asarray(edge_item)
         w = np.asarray(edge_weight)
         self.l_i2u = TiledSpMM(ei, eu, w, n_items_t, n_users_t, d,
-                               user_axis='dst', interpret=interpret)
+                               user_axis='dst', interpret=interpret,
+                               x_dtype=x_dtype)
         self.l_u2i = TiledSpMM(eu, ei, w, n_users_t, n_items_t, d,
-                               user_axis='src', interpret=interpret)
+                               user_axis='src', interpret=interpret,
+                               x_dtype=x_dtype)
 
     def weights(self, mask_key=None, dropout: float = 0.0):
         """Returns ((salt, keep) for i->u, (salt, keep) for u->i)."""

@@ -19,20 +19,18 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 # two-stage blocked top-k: per-block top-k then top-k over the G*k
-# candidates — EXACT for k <= block size, and much cheaper than one
-# monolithic lax.top_k over a large catalog axis.  Auto-enabled for
-# catalogs >= BLOCKED_TOPK_MIN items; override with
-# TEXTGCN_TPU_BLOCKED_TOPK=0|1.
+# candidates — EXACT for k <= block size.  Measured on v5e it LOSES to
+# one monolithic ``lax.top_k`` (112 vs 27.6 ms for (2048, 81920) top-40):
+# XLA's top-k is already a partial sort, so the extra stage only adds
+# work.  OFF by default; TEXTGCN_TPU_BLOCKED_TOPK=1 opts in (useful if a
+# future XLA regresses the monolithic path, or on catalog shards where
+# the second stage can ride an all-gather).
 TOPK_BLOCK = 8192
-BLOCKED_TOPK_MIN = 16384
 
 
 def _use_blocked(n: int) -> bool:
     import os
-    env = os.environ.get('TEXTGCN_TPU_BLOCKED_TOPK', '')
-    if env in ('0', '1'):
-        return env == '1'
-    return n >= BLOCKED_TOPK_MIN
+    return os.environ.get('TEXTGCN_TPU_BLOCKED_TOPK', '') == '1'
 
 
 def exact_top_k(scores, k: int):
@@ -63,6 +61,29 @@ def exact_top_k(scores, k: int):
     return top_v, jnp.take_along_axis(flat_i, pos, axis=-1)
 
 
+def catalog_top_k(scores, k: int):
+    """Top-k over the catalog axis: exact by default, or TPU-native
+    approximate MIPS retrieval when ``TEXTGCN_TPU_APPROX_TOPK`` is set to
+    a recall target in (0, 1) (e.g. ``0.95``).
+
+    ``jax.lax.approx_max_k`` is the hardware-accelerated partial
+    reduction TPUs provide for exactly this serving pattern; at
+    recall_target 0.95 it skips the full sort the exact op needs.  Eval
+    metrics move by at most (1 - recall) of the relevant items, so this
+    is an opt-in for large-catalog serving/benchmarks, never the
+    default.
+    """
+    import os
+    env = os.environ.get('TEXTGCN_TPU_APPROX_TOPK', '')
+    try:
+        recall = float(env)
+    except ValueError:
+        recall = 0.0
+    if 0.0 < recall < 1.0:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall)
+    return exact_top_k(scores, k)
+
+
 def mask_train_items(scores, batch_pos_padded, n_items: int):
     """Set scores of already-interacted items to -inf.
 
@@ -90,7 +111,7 @@ def score_and_topk(users_emb, items_emb, batch_pos_padded, *, k: int,
     scores = jnp.dot(users_emb, items_emb.T,
                      preferred_element_type=jnp.float32)
     scores = mask_train_items(scores, batch_pos_padded, n_items)
-    return exact_top_k(scores, k)
+    return catalog_top_k(scores, k)
 
 
 @partial(jax.jit, static_argnames=('k', 'n_items'))
@@ -98,7 +119,7 @@ def topk_from_scores(scores, batch_pos_padded, *, k: int, n_items: int):
     """Train-mask precomputed scores and take top-k (LTR heads compute their
     own score tensors before retrieval)."""
     scores = mask_train_items(scores, batch_pos_padded, n_items)
-    return exact_top_k(scores, k)
+    return catalog_top_k(scores, k)
 
 
 def merge_topk(values, indices, k: int):
