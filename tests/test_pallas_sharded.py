@@ -38,7 +38,8 @@ def test_mesh_pallas_matches_xla(mesh, dummy_data, rng):
     xla_op = BipartiteGraphOp(g.edge_user, g.edge_item, g.edge_weight,
                               nu_t, ni_t)
     mesh_op = MeshPallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
-                                nu_t, ni_t, 8, mesh, interpret=True)
+                                nu_t, ni_t, 8, mesh, interpret=True,
+                                x_dtype=jnp.float32)
     u1, i1 = representation(params, xla_op, 3, single=False)
     u2, i2 = representation(params, mesh_op, 3, single=False)
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-4)
@@ -51,7 +52,8 @@ def test_mesh_pallas_grads_match(mesh, dummy_data, rng):
     xla_op = BipartiteGraphOp(g.edge_user, g.edge_item, g.edge_weight,
                               nu_t, ni_t)
     mesh_op = MeshPallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
-                                nu_t, ni_t, 8, mesh, interpret=True)
+                                nu_t, ni_t, 8, mesh, interpret=True,
+                                x_dtype=jnp.float32)
 
     def loss(p, op):
         u, i = representation(p, op, 2, single=False)
@@ -100,6 +102,33 @@ def test_supports_tables_beyond_single_chip_vmem():
     assert not MeshPallasGraphOp.supports(8 * 320, 4096, d, 8)
 
 
+def test_mesh_default_bf16_x_within_tolerance(mesh, dummy_data, rng):
+    """The mesh path inherits TiledSpMM's default: a bf16 source slice
+    (numerically free at DEFAULT matmul precision, halves per-chip VMEM
+    so the mesh serves tables 2x larger); outputs stay within bf16
+    rounding of the exact f32 path."""
+    g = dummy_data.graph
+    params, nu_t, ni_t = _padded_tables(g, rng)
+    exact = MeshPallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
+                              nu_t, ni_t, 8, mesh, interpret=True,
+                              x_dtype=jnp.float32)
+    dflt = MeshPallasGraphOp(g.edge_user, g.edge_item, g.edge_weight,
+                             nu_t, ni_t, 8, mesh, interpret=True)
+    assert dflt.x_dtype == jnp.bfloat16
+    wp = dflt.weights()
+    a = np.asarray(exact.to_user(params['item_emb'], wp[0]))
+    b = np.asarray(dflt.to_user(params['item_emb'], wp[0]))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=0.01 * scale)
+    # bf16 slices double the table size the mesh path admits
+    d = 64
+    budget = MeshPallasGraphOp.VMEM_X_BUDGET
+    rows = budget // (d * 4) // 128 * 128 * 2       # 2x the f32 limit
+    assert MeshPallasGraphOp.supports(rows * 8, rows * 8, d, 8)
+    assert not MeshPallasGraphOp.supports(rows * 8, rows * 8, d, 8,
+                                          x_dtype=jnp.float32)
+
+
 def test_mesh_pallas_sharded_source_larger_graph(mesh, rng):
     """Source-sharded partitioning on a graph spanning several source
     blocks per device, with skewed edge distribution: fwd + grad match the
@@ -126,7 +155,7 @@ def test_mesh_pallas_sharded_source_larger_graph(mesh, rng):
     }
     xla_op = BipartiteGraphOp(eu, ei, w, nu_t, ni_t)
     mesh_op = MeshPallasGraphOp(eu, ei, w, nu_t, ni_t, 8, mesh,
-                                interpret=True)
+                                interpret=True, x_dtype=jnp.float32)
     # every device holds only its slice of the source rows
     assert mesh_op.l_u2i.rows_per_dev == nu_t // 8
     assert mesh_op.l_i2u.rows_per_dev == ni_t // 8

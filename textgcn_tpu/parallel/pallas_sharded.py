@@ -163,23 +163,34 @@ class MeshPallasGraphOp:
     VMEM_X_BUDGET = K.TiledSpMM.VMEM_X_BUDGET
 
     @staticmethod
-    def supports(n_users_t: int, n_items_t: int, d: int,
-                 n_dev: int) -> bool:
+    def _default_x_dtype():
+        # same reasoning as TiledSpMM: DEFAULT matmul precision rounds
+        # the table to bf16 inside the kernel anyway, so a bf16 slice is
+        # numerically free and doubles the table size the mesh path serves
+        return (jnp.bfloat16
+                if K.PRECISION == jax.lax.Precision.DEFAULT
+                else jnp.float32)
+
+    @classmethod
+    def supports(cls, n_users_t: int, n_items_t: int, d: int,
+                 n_dev: int, x_dtype=None) -> bool:
         """True when both tables row-shard evenly over ``n_dev`` with a
         per-device slice that is 128-aligned and fits the VMEM budget."""
+        itemsize = jnp.dtype(x_dtype or cls._default_x_dtype()).itemsize
         for n in (n_users_t, n_items_t):
             if n % n_dev:
                 return False
             rows = n // n_dev
-            if rows % 128 or rows * d * 4 > MeshPallasGraphOp.VMEM_X_BUDGET:
+            if rows % 128 or rows * d * itemsize > cls.VMEM_X_BUDGET:
                 return False
         return True
 
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, d: int, mesh,
-                 interpret: bool = False):
+                 interpret: bool = False, x_dtype=None):
         self.mesh = mesh
         self.interpret = interpret
+        self.x_dtype = jnp.dtype(x_dtype or self._default_x_dtype())
         self.axes = tuple(mesh.axis_names)
         n_dev = mesh.size
         eu = np.asarray(edge_user)
@@ -205,6 +216,7 @@ class MeshPallasGraphOp:
     def _apply(self, layout, x, salt, keep):
         axes = self.axes
         interpret = self.interpret
+        x = x.astype(self.x_dtype)
 
         def local(ptr, sb, packed, w_base, dst_ids, src_ids, x, salt,
                   keep):
@@ -253,12 +265,12 @@ class MeshPallasGraphOp:
 
     def tree_flatten(self):
         return (self.l_i2u, self.l_u2i), (self.mesh, self.interpret,
-                                          self.axes)
+                                          self.axes, self.x_dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = object.__new__(cls)
-        op.mesh, op.interpret, op.axes = aux
+        op.mesh, op.interpret, op.axes, op.x_dtype = aux
         op.l_i2u, op.l_u2i = children
         return op
 
