@@ -102,3 +102,32 @@ def test_approx_topk_env_optin(rng, monkeypatch):
     monkeypatch.setenv('TEXTGCN_TPU_APPROX_TOPK', 'nope')
     v2, i2 = R.catalog_top_k(scores, 10)
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))
+
+
+def test_mining_topk_small_catalog_exact_and_env(rng, monkeypatch):
+    """mining_top_k: exact below the 4096 threshold and under
+    TEXTGCN_TPU_ADV_TOPK=exact; approx path returns true (value, id)
+    pairs sorted descending."""
+    import jax
+
+    from textgcn_tpu.ops import retrieval as R
+
+    small = jnp.asarray(rng.randn(4, 512).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(small, 8)
+    v, i = R.mining_top_k(small, 8)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+    big = jnp.asarray(rng.randn(4, 8192).astype(np.float32))
+    monkeypatch.setenv('TEXTGCN_TPU_ADV_TOPK', 'exact')
+    v_ref, i_ref = jax.lax.top_k(big, 16)
+    v, i = R.mining_top_k(big, 16)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    monkeypatch.delenv('TEXTGCN_TPU_ADV_TOPK')
+    v, i = R.mining_top_k(big, 16)
+    assert v.shape == (4, 16) and i.shape == (4, 16)
+    vn, idx = np.asarray(v), np.asarray(i)
+    # genuine (value, id) pairs, sorted descending
+    np.testing.assert_allclose(
+        vn, np.take_along_axis(np.asarray(big), idx, axis=1))
+    assert (np.diff(vn, axis=1) <= 1e-6).all()

@@ -21,7 +21,10 @@ expected 1000 uniform candidates as the reference's `random.sample`, with
 binomial count variance; the 5 positives are drawn with replacement; the
 (pos, neg) cartesian loss is computed broadcasted over a (B, P, K) grid
 rather than a materialized expanded batch (numerically identical — see
-test_expanded_loss_matches_flat_expansion).
+test_expanded_loss_matches_flat_expansion); hard-negative selection on
+catalogs >= 4096 uses ``lax.approx_max_k`` at recall 0.95 (exactness is
+not part of the sampling contract — see ``ops/retrieval.mining_top_k``;
+``TEXTGCN_TPU_ADV_TOPK=exact`` restores ``lax.top_k``).
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.retrieval import NEG_INF, mask_train_items
+from ..ops.retrieval import NEG_INF, mask_train_items, mining_top_k
 from .lightgcn import LightGCN
 
 POS_SAMPLES = 5          # reference advanced_sampling.py:12
@@ -101,8 +104,10 @@ class AdvSamplModel(LightGCN):
             k_cand, self.n_candidates / self.n_items, scores.shape)
         scores = jnp.where(keep, scores, NEG_INF)
 
-        # hardest negatives: top-K of masked scores (global item ids)
-        top_scores, negs = jax.lax.top_k(scores, self.n_hard_negs)
+        # hardest negatives: top-K of masked scores (global item ids);
+        # approx_max_k on large catalogs — mining needs no exactness
+        # (ops/retrieval.mining_top_k)
+        top_scores, negs = mining_top_k(scores, self.n_hard_negs)
         neg_valid = top_scores > NEG_INF                    # (B, K)
 
         # random positives (with replacement) per user

@@ -84,6 +84,34 @@ def catalog_top_k(scores, k: int):
     return exact_top_k(scores, k)
 
 
+def mining_top_k(scores, k: int):
+    """Top-k for hard-negative mining (AdvSampl).
+
+    Unlike eval retrieval, negative *mining* needs no exactness — the
+    candidate set is already a Bernoulli draw, so swapping ~5% of the
+    hardest negatives for slightly-less-hard ones is within the sampling
+    noise.  Large catalogs therefore use the TPU-native
+    ``lax.approx_max_k`` partial reduction (measured 10x faster than the
+    exact ``lax.top_k`` at a 25k catalog on v5e: 1.0 vs 10.6 ms for a
+    (2048, 25600) top-40, ~22% of the AdvSampl step).  Small catalogs
+    (< 4096) keep the exact op — nothing to save.
+
+    ``TEXTGCN_TPU_ADV_TOPK`` overrides: ``exact`` forces ``lax.top_k``,
+    a float in (0, 1) sets the recall target (default 0.95).
+    """
+    import os
+    env = os.environ.get('TEXTGCN_TPU_ADV_TOPK', '')
+    if env == 'exact' or scores.shape[-1] < 4096:
+        return jax.lax.top_k(scores, k)
+    try:
+        recall = float(env)
+    except ValueError:
+        recall = 0.95
+    if not 0.0 < recall < 1.0:
+        recall = 0.95
+    return jax.lax.approx_max_k(scores, k, recall_target=recall)
+
+
 def mask_train_items(scores, batch_pos_padded, n_items: int):
     """Set scores of already-interacted items to -inf.
 
