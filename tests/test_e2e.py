@@ -176,3 +176,22 @@ def test_trainer_logs_all_loss_components(tmp_path, dummy_dir, caplog):
     assert any('sem = ' in m and 'bpr = ' in m and 'reg = ' in m
                for m in epoch_lines)
     assert any('examples/s' in m for m in epoch_lines)
+
+
+def test_cli_mesh_end_to_end(tmp_path, dummy_dir, monkeypatch):
+    """The full CLI drive with --mesh on the virtual 8-device mesh:
+    make_mesh -> padded_to -> shard_model -> sharded Trainer fit/eval/
+    checkpoint (the path a real multi-chip launch takes)."""
+    from textgcn_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    trainer = main(['--model', 'lgcn', '--data', str(dummy_dir),
+                    '--epochs', '9', '--evaluate_every', '3',
+                    '--batch_size', '16', '--emb_size', '16',
+                    '--n_layers', '2', '-k', '3', '5',
+                    '--mesh', '4x2', '--uid', 'cli-mesh'])
+    assert len(trainer.metrics_logger['recall']) >= 2
+    assert np.isfinite(trainer.metrics_logger['recall']).all()
+    run_dir = tmp_path / 'runs' / 'dummy' / 'cli-mesh'
+    assert (run_dir / 'latest_checkpoint.pkl').exists()
+    assert (run_dir / 'best.pkl').exists()
