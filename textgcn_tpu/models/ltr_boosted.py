@@ -60,6 +60,39 @@ class LTRGradientBoosted(LTRLinear):
         return GradientBoostingRegressor(warm_start=True,
                                          **self.tree_params)
 
+    # --- jitted helpers (captured state as ARGUMENTS) -----------------------
+    # Device arrays (graph op, reprs, text tensors) must pass through jit
+    # as pytree arguments, never as closed-over constants: embedded
+    # constants bloat (and at multi-million-edge scale break) compilation
+    # and are illegal for multi-controller global arrays (see ops/spmm.py).
+    # The jitted callables are cached per instance so repeated
+    # evaluate()/predict() calls reuse one compiled program.
+
+    def _jitted(self, name, builder):
+        cache = self.__dict__.setdefault('_jit_cache', {})
+        if name not in cache:
+            cache[name] = builder()
+        return cache[name]
+
+    def compute_reprs(self, params):
+        """Propagated (users, items) reprs, eval mode."""
+        def build():
+            @jax.jit
+            def f(params, cap):
+                with self.bound(cap):
+                    return self.representation(params, training=False)
+            return f
+        return self._jitted('reprs', build)(params, self.captured_state())
+
+    def _batch_features_fn(self):
+        def build():
+            @jax.jit
+            def f(params, reprs, cap, bu):
+                with self.bound(cap):
+                    return self.batch_features(params, reprs, bu)
+            return f
+        return self._jitted('batch_features', build)
+
     # --- feature extraction (device side) ----------------------------------
 
     def batch_features(self, params, reprs, batch_users):
@@ -87,16 +120,16 @@ class LTRGradientBoosted(LTRLinear):
 
     def fit_trees(self, params, pos_padded, pos_degree, batch_size=256):
         """One pass over all users; returns feature importances."""
-        reprs = jax.jit(
-            lambda p: self.representation(p, training=False))(params)
-        feat_fn = jax.jit(
-            lambda p, bu: self.batch_features(p, reprs, bu))
+        reprs = self.compute_reprs(params)
+        feat_fn = self._batch_features_fn()
+        cap = self.captured_state()
         n_items = self.n_items
         warm = False
         for start in range(0, self.n_users, batch_size):
             users = np.arange(start, min(start + batch_size, self.n_users),
                               dtype=np.int32)
-            feats = np.asarray(feat_fn(params, jnp.asarray(users)))
+            feats = np.asarray(feat_fn(params, reprs, cap,
+                                       jnp.asarray(users)))
             y = np.zeros((len(users), n_items), np.float32)
             for r, u in enumerate(users):
                 deg = int(pos_degree[u])
@@ -139,26 +172,28 @@ class LTRGradientBoosted(LTRLinear):
         if forest is None:
             return lambda bu: self.tree_scores(params, reprs, bu)
 
-        @jax.jit
-        def score(captured, params, reprs, forest, bu):
-            with self.bound(captured):
-                feats = self.batch_features(params, reprs, bu)
-            preds = forest_predict(
-                forest, feats.reshape(-1, feats.shape[-1]))
-            preds = preds.reshape(feats.shape[:2])
-            pad = self.n_items_t - self.n_items
-            return jnp.pad(preds, ((0, 0), (0, pad)),
-                           constant_values=-jnp.inf)
+        def build():
+            @jax.jit
+            def score(captured, params, reprs, forest, bu):
+                with self.bound(captured):
+                    feats = self.batch_features(params, reprs, bu)
+                preds = forest_predict(
+                    forest, feats.reshape(-1, feats.shape[-1]))
+                preds = preds.reshape(feats.shape[:2])
+                pad = self.n_items_t - self.n_items
+                return jnp.pad(preds, ((0, 0), (0, pad)),
+                               constant_values=-jnp.inf)
+            return score
 
+        score = self._jitted('forest_score', build)
         captured = self.captured_state()
         return lambda bu: score(captured, params, reprs, forest, bu)
 
     def tree_scores(self, params, reprs, batch_users):
         """Host-side scoring fallback (one batch; prefer
         ``make_tree_scorer`` which keeps the whole pass on device)."""
-        feats = np.asarray(jax.jit(
-            lambda p, bu: self.batch_features(p, reprs, bu))(
-            params, batch_users))
+        feats = np.asarray(self._batch_features_fn()(
+            params, reprs, self.captured_state(), batch_users))
         flat = feats.reshape(-1, feats.shape[-1])
         scores = self.tree.predict(flat).reshape(feats.shape[:2])
         # re-pad to the table width so retrieval masks line up
@@ -227,8 +262,7 @@ class BoostedTrainer:
 
         model = self.model
         params = self.inner.params
-        reprs = jax.jit(
-            lambda p: model.representation(p, training=False))(params)
+        reprs = model.compute_reprs(params)
         users = np.asarray(list(users), dtype=np.int32)
         max_k = max(self.inner.k)
         preds, scores = [], []
@@ -266,8 +300,7 @@ class BoostedTrainer:
 
         model = self.model
         params = self.inner.params
-        reprs = jax.jit(
-            lambda p: model.representation(p, training=False))(params)
+        reprs = model.compute_reprs(params)
         max_k = max(self.inner.k)
         preds = []
         bs = self.cfg.batch_size
@@ -310,12 +343,21 @@ class MarcusGradientBoosted(LTRGradientBoosted):
                                                       model='xgboost'))
 
     def fit_trees(self, params, pos_padded, pos_degree, batch_size=4096):
-        reprs = jax.jit(
-            lambda p: self.representation(p, training=False))(params)
-        users_repr, items_repr = reprs
-        feat_fn = jax.jit(lambda users, items: self.features_pairwise(
-            self._user_vecs(users_repr, users),
-            self._item_vecs(items_repr, items), users, items))
+        reprs = self.compute_reprs(params)
+
+        def build():
+            @jax.jit
+            def f(cap, reprs, users, items):
+                users_repr, items_repr = reprs
+                with self.bound(cap):
+                    return self.features_pairwise(
+                        self._user_vecs(users_repr, users),
+                        self._item_vecs(items_repr, items), users, items)
+            return f
+
+        pair_fn = self._jitted('pairwise_features', build)
+        cap = self.captured_state()
+        feat_fn = lambda users, items: pair_fn(cap, reprs, users, items)
 
         rng = np.random.RandomState(self.cfg.seed)
         pos_padded = np.asarray(pos_padded)

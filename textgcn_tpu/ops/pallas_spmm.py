@@ -230,7 +230,7 @@ def plan_tile_blocks(n_edges: int, n_src: int, n_dst: int):
     Sweep-calibrated rule (tools/block_sweep.py on a 200k x 80k / 2M-edge
     graph, v5e): padding inflation per tile is ~1 + CHUNK/(2*lambda) with
     lambda = S*D*density expected edges per tile.  Grow blocks from
-    (512, 512) until lambda >= 64 (pad <= 2), doubling the block on the
+    (512, 512) until lambda >= 48 (pad <= ~2.3), doubling the block on the
     axis with MORE ROWS first — the bigger axis has more, sparser blocks,
     so widening it both raises lambda and cuts per-block grid overhead.
     Stop as soon as lambda clears the bar: larger tiles past that point

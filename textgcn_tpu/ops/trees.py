@@ -153,12 +153,22 @@ def forest_predict(forest: Forest, x: jnp.ndarray) -> jnp.ndarray:
     """(R, F) features -> (R,) ensemble predictions, all on device."""
     x = x.astype(jnp.float32)
 
+    # the feature-select and leaf-value contractions run at HIGHEST
+    # precision: TPU DEFAULT rounds operands to bf16, which would route
+    # rows near a split threshold down the wrong branch and perturb leaf
+    # values — breaking the documented bit-parity with sklearn.  (d @ C
+    # stays DEFAULT: 0/1 x +-1 products and depth-bounded counts are
+    # exact in bf16.)  A and the one-hot are tiny selectors; the cost is
+    # negligible.
+    hi = jax.lax.Precision.HIGHEST
+
     def one_tree(acc, tree):
         A, B, C, E, V = tree
-        d = (x @ A <= B).astype(jnp.float32)        # (R, I)
+        d = (jnp.dot(x, A, precision=hi) <= B) \
+            .astype(jnp.float32)                    # (R, I)
         s = d @ C                                   # (R, L)
         onehot = (s == E).astype(jnp.float32)
-        return acc + onehot @ V, None
+        return acc + jnp.dot(onehot, V, precision=hi), None
 
     acc, _ = jax.lax.scan(
         one_tree, jnp.zeros(x.shape[0], jnp.float32),
