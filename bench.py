@@ -346,8 +346,11 @@ def bench_ltr_eval(n_eval_users=8192):
     return n_eval_users / per_pass
 
 
-def bench_eval_jax(n_eval_users=8192):
-    """Full-catalog eval throughput: masked scoring + top-k, users/s."""
+def bench_eval_jax(n_eval_users=8192, approx=None):
+    """Full-catalog eval throughput: masked scoring + top-k, users/s.
+
+    ``approx``: recall target for the serving mode (approx_max_k);
+    None = exact (the eval default)."""
     import jax
     import jax.numpy as jnp
 
@@ -370,7 +373,8 @@ def bench_eval_jax(n_eval_users=8192):
                 def one(_, xs):
                     bu, bp = xs
                     vals, idx = score_and_topk(bu, items_emb, bp, k=40,
-                                               n_items=N_ITEMS)
+                                               n_items=N_ITEMS,
+                                               approx=approx)
                     return None, vals.sum()
                 _, s = jax.lax.scan(
                     one, None, (u, pos.reshape(-1, BATCH, max_deg)))
@@ -418,10 +422,11 @@ def main():
 
     jax_eps, jax_step = bench_jax(steps=args.steps)
     eval_ups = bench_eval_jax()
-    adv_ms = adv_eps = ltr_ups = None
+    adv_ms = adv_eps = ltr_ups = serving_ups = None
     if not args.skip_extras:
         adv_ms, adv_eps = bench_adv_jax()
         ltr_ups = bench_ltr_eval()
+        serving_ups = bench_eval_jax(approx=0.95)
     if args.skip_baseline:
         torch_eps = eval_ups_t = None
     else:
@@ -445,6 +450,8 @@ def main():
             'adv_sampling_examples_per_s': round(adv_eps, 1)
             if adv_eps else None,
             'ltr_eval_users_per_s': round(ltr_ups, 1) if ltr_ups else None,
+            'serving_eval_users_per_s_approx95': round(serving_ups, 1)
+            if serving_ups else None,
             'device': str(jax.devices()[0]),
             'n_users': N_USERS, 'n_items': N_ITEMS,
             'batch': BATCH, 'emb': EMB, 'layers': LAYERS,

