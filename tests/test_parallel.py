@@ -47,6 +47,39 @@ def test_sharded_topk_matches_local(mesh, rng):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_sharded_topk_approx_serving(mesh, rng):
+    """Serving mode on the mesh: per-shard approx_max_k + exact merge.
+    Returned pairs must be genuine masked scores and recall vs the exact
+    path must meet the per-shard target (the merge is exact, so global
+    recall is bounded below by it; on CPU approx_max_k falls back to the
+    exact reduction, making recall 1.0 here — the assertion still
+    exercises the full routing + merge)."""
+    b, n_items, d, k = 8, 4096, 16, 10
+    users_emb = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    items_emb = jnp.asarray(rng.randn(n_items, d).astype(np.float32))
+    pos = np.full((b, 3), n_items, dtype=np.int32)
+    pos[0, :2] = [3, 100]
+    pos_j = jnp.asarray(pos)
+
+    from textgcn_tpu.ops.retrieval import score_and_topk
+    want_v, want_i = score_and_topk(users_emb, items_emb, pos_j, k=k,
+                                    n_items=n_items)
+    got_v, got_i = sharded_topk(mesh, users_emb, items_emb, pos_j, k,
+                                approx=0.95)
+    # genuine (score, id) pairs, descending
+    scores = np.asarray(users_emb) @ np.asarray(items_emb).T
+    scores[0, [3, 100]] = -np.inf
+    np.testing.assert_allclose(
+        np.asarray(got_v),
+        np.take_along_axis(scores, np.asarray(got_i), axis=1), rtol=1e-5)
+    assert (np.diff(np.asarray(got_v), axis=1) <= 1e-6).all()
+    # recall vs exact meets the per-shard target
+    hits = sum(len(np.intersect1d(np.asarray(got_i)[r],
+                                  np.asarray(want_i)[r]))
+               for r in range(b))
+    assert hits >= 0.95 * b * k
+
+
 def _build(dummy_dir, mesh=None):
     cfg = Config(model='lgcn', data=str(dummy_dir), epochs=1,
                  batch_size=16, emb_size=16, n_layers=2, dropout=0.0,

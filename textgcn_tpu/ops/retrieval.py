@@ -61,6 +61,18 @@ def exact_top_k(scores, k: int):
     return top_v, jnp.take_along_axis(flat_i, pos, axis=-1)
 
 
+def env_recall() -> float:
+    """The ``TEXTGCN_TPU_APPROX_TOPK`` serving opt-in, parsed to a recall
+    target (0 = exact).  Read at trace time — callers mixing modes in one
+    process should pass ``approx`` explicitly instead."""
+    import os
+    env = os.environ.get('TEXTGCN_TPU_APPROX_TOPK', '')
+    try:
+        return float(env)
+    except ValueError:
+        return 0.0
+
+
 def catalog_top_k(scores, k: int, approx: float | None = None):
     """Top-k over the catalog axis: exact by default, or TPU-native
     approximate MIPS retrieval at a recall target in (0, 1) (e.g.
@@ -77,12 +89,7 @@ def catalog_top_k(scores, k: int, approx: float | None = None):
     large-catalog serving/benchmarks, never the default.
     """
     if approx is None:
-        import os
-        env = os.environ.get('TEXTGCN_TPU_APPROX_TOPK', '')
-        try:
-            approx = float(env)
-        except ValueError:
-            approx = 0.0
+        approx = env_recall()
     if 0.0 < approx < 1.0:
         return jax.lax.approx_max_k(scores, k, recall_target=approx)
     return exact_top_k(scores, k)

@@ -83,7 +83,8 @@ def make_sharded_epoch_fn(mesh, model, optimizer, batch_size: int,
 
 
 def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
-                 n_valid: int | None = None):
+                 n_valid: int | None = None,
+                 approx: float | None = None):
     """Catalog-sharded scoring + distributed top-k.
 
     Items are sharded over `model`; each shard computes its local
@@ -93,9 +94,20 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
 
     ``n_valid``: number of real items — global columns >= n_valid (the
     phantom rows added by table padding) are masked to -inf.
+
+    ``approx``: serving-mode recall target in (0, 1) — the per-shard
+    reduction uses the TPU-native ``lax.approx_max_k`` partial reduction
+    instead of the exact sort (see ``ops.retrieval.catalog_top_k``); the
+    cross-shard merge of the S*k survivors stays exact, so global recall
+    is bounded below by the per-shard target.  ``None`` reads the
+    ``TEXTGCN_TPU_APPROX_TOPK`` env opt-in (exact by default).
     """
     n_items = items_emb.shape[0]
     n_valid = n_items if n_valid is None else n_valid
+    if approx is None:
+        from ..ops.retrieval import env_recall
+        approx = env_recall()
+    use_approx = 0.0 < approx < 1.0
 
     def local(users_emb, items_shard, pos_padded):
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
@@ -114,7 +126,12 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
             (local_pos >= 0) & (local_pos < shard_size), local_pos,
             shard_size)
         scores = mask_train_items(scores, local_pos, shard_size)
-        vals, idx = jax.lax.top_k(scores, min(k, shard_size))
+        kk = min(k, shard_size)
+        if use_approx:
+            vals, idx = jax.lax.approx_max_k(scores, kk,
+                                             recall_target=approx)
+        else:
+            vals, idx = jax.lax.top_k(scores, kk)
         idx = idx + offset
         # gather candidates from all shards and merge
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS)   # (S, B, k)
