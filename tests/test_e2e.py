@@ -195,3 +195,22 @@ def test_cli_mesh_end_to_end(tmp_path, dummy_dir, monkeypatch):
     run_dir = tmp_path / 'runs' / 'dummy' / 'cli-mesh'
     assert (run_dir / 'latest_checkpoint.pkl').exists()
     assert (run_dir / 'best.pkl').exists()
+
+
+def test_cli_approx_topk_flag(tmp_path, dummy_dir, monkeypatch):
+    """--approx_topk exports the serving opt-in before any tracing and the
+    run still trains/evaluates end-to-end (on CPU approx_max_k falls back
+    to the exact reduction, so metrics stay finite and comparable)."""
+    import os
+
+    from textgcn_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv('TEXTGCN_TPU_APPROX_TOPK', raising=False)
+    trainer = main(['--model', 'lgcn', '--data', str(dummy_dir),
+                    '--epochs', '4', '--evaluate_every', '2',
+                    '--batch_size', '16', '--emb_size', '16',
+                    '--n_layers', '2', '-k', '3', '5',
+                    '--approx_topk', '0.95', '--uid', 'cli-approx'])
+    assert os.environ.get('TEXTGCN_TPU_APPROX_TOPK') == '0.95'
+    assert np.isfinite(trainer.metrics_logger['recall']).all()

@@ -38,6 +38,10 @@ def setup_compilation_cache():
 def main(argv: list[str] | None = None):
     setup_compilation_cache()
     cfg = parse_args(argv)
+    if cfg.approx_topk:
+        # serving opt-in: all retrieval sinks (catalog_top_k, sharded_topk)
+        # read this at trace time (ops/retrieval.env_recall)
+        os.environ['TEXTGCN_TPU_APPROX_TOPK'] = str(cfg.approx_topk)
     logger = get_logger(cfg)
     loader, model_cls = get_class(cfg.model)
     logger.info('Class: %s', model_cls.__name__)

@@ -110,6 +110,9 @@ class Config:
     precompute_adjacency: bool = True
     ckpt_backend: str = 'pickle'  # 'pickle' (reference .pkl contract) or
                                   # 'orbax' (sharded arrays, mesh runs)
+    approx_topk: float = 0.0      # serving mode: retrieval via the TPU
+                                  # partial reduction (lax.approx_max_k) at
+                                  # this recall target; 0 = exact (default)
 
     # --- derived (filled by finalize()) -------------------------------------
     save_path: str = field(default='', compare=False)
@@ -140,6 +143,8 @@ class Config:
             'cannot load both base and trained model'  # reference parser.py:201
         assert 0.0 <= self.dropout < 1.0
         assert self.epochs >= 1 and self.batch_size >= 1
+        assert 0.0 <= self.approx_topk < 1.0, \
+            'approx_topk is a recall target in [0, 1); 0 disables'
 
     @property
     def mesh_shape(self) -> tuple[int, int]:
@@ -207,6 +212,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--no_pallas', action='store_true')
     p.add_argument('--ckpt_backend', default=d.ckpt_backend,
                    choices=['pickle', 'orbax'])
+    p.add_argument('--approx_topk', type=float, default=d.approx_topk,
+                   help='serving mode: retrieval top-k via the TPU-native '
+                        'approx_max_k partial reduction at this recall '
+                        'target (e.g. 0.95); 0 = exact (default)')
     return p
 
 
@@ -232,6 +241,7 @@ def parse_args(argv: list[str] | None = None) -> Config:
         seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
         use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,
+        approx_topk=ns.approx_topk,
     ).finalize()
     cfg.validate()
     return cfg

@@ -132,8 +132,11 @@ def time_steps(params, opt_state, make_run, n1=4, n2=12, reps=3):
     return (t(r2) - t(r1)) / (n2 - n1) * 1e3
 
 
-def time_eval(n_items, n_eval_users=4096, max_deg=32):
-    """Full-catalog masked top-k users/s (chain-difference)."""
+def time_eval(n_items, n_eval_users=4096, max_deg=32, approx=None):
+    """Full-catalog masked top-k users/s (chain-difference).
+
+    ``approx``: serving-mode recall target (lax.approx_max_k); None =
+    exact (the eval default)."""
     import jax
     import jax.numpy as jnp
 
@@ -155,7 +158,8 @@ def time_eval(n_items, n_eval_users=4096, max_deg=32):
                 def one(_, xs):
                     bu, bp = xs
                     vals, _ = score_and_topk(bu, items_emb, bp, k=40,
-                                             n_items=n_items)
+                                             n_items=n_items,
+                                             approx=approx)
                     return None, vals.sum()
 
                 _, s = jax.lax.scan(
