@@ -66,12 +66,14 @@ def test_sharded_topk_approx_serving(mesh, rng):
                                     n_items=n_items)
     got_v, got_i = sharded_topk(mesh, users_emb, items_emb, pos_j, k,
                                 approx=0.95)
-    # genuine (score, id) pairs, descending
+    # genuine (score, id) pairs, descending (serving mode emits bf16
+    # local scores, so compare at bf16 tolerance)
     scores = np.asarray(users_emb) @ np.asarray(items_emb).T
     scores[0, [3, 100]] = -np.inf
     np.testing.assert_allclose(
         np.asarray(got_v),
-        np.take_along_axis(scores, np.asarray(got_i), axis=1), rtol=1e-5)
+        np.take_along_axis(scores, np.asarray(got_i), axis=1),
+        rtol=1e-2, atol=1e-2)
     assert (np.diff(np.asarray(got_v), axis=1) <= 1e-6).all()
     # recall vs exact meets the per-shard target
     hits = sum(len(np.intersect1d(np.asarray(got_i)[r],

@@ -145,10 +145,12 @@ def test_explicit_approx_argument(rng):
     v_ap, i_ap = R.score_and_topk(users, items, pos, k=10, n_items=5000,
                                   approx=0.95)
     assert v_ap.shape == v_ex.shape and i_ap.shape == i_ex.shape
-    # returned pairs are genuine masked scores
+    # returned pairs are genuine masked scores (serving mode emits bf16
+    # scores, so compare at bf16 tolerance)
     scores = np.array(users @ items.T)
     rows = np.arange(4)[:, None]
     scores[rows, np.asarray(pos)] = -np.inf
     np.testing.assert_allclose(
         np.asarray(v_ap),
-        np.take_along_axis(scores, np.asarray(i_ap), axis=1), rtol=1e-5)
+        np.take_along_axis(scores, np.asarray(i_ap), axis=1),
+        rtol=1e-2, atol=1e-2)

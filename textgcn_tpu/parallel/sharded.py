@@ -113,8 +113,12 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
         shard_size = items_shard.shape[0]
         offset = shard_idx * shard_size
+        # serving mode emits bf16 local scores — the per-shard batch is
+        # HBM-bound on the (B, shard) matrix (see ops.retrieval
+        # score_and_topk); the cross-shard merge compares bf16 values
+        out_t = jnp.bfloat16 if use_approx else jnp.float32
         scores = jnp.dot(users_emb, items_shard.T,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=out_t)
         # mask phantom (padding) catalog columns
         global_col = offset + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, 1)
@@ -140,7 +144,8 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
         flat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, s * kk)
         flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, s * kk)
         top_v, pos = jax.lax.top_k(flat_v, k)
-        return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+        return (top_v.astype(jnp.float32),
+                jnp.take_along_axis(flat_i, pos, axis=1))
 
     fn = jax.shard_map(
         local, mesh=mesh,
