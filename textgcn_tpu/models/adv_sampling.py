@@ -96,13 +96,18 @@ class AdvSamplModel(LightGCN):
         # row gathers per batch; masking E[candidates]=n_candidates items
         # out of a (B, catalog) score matrix is the same selection in
         # expectation with zero gathers.
-        scores = jnp.dot(users_r[users], items_r.T,
-                         preferred_element_type=jnp.float32)
+        # bf16 scores: mining needs no exactness (the candidate set is a
+        # Bernoulli draw) and the (B, catalog) matrix traffic dominates
+        # once the reduction is approx — same rationale as the serving
+        # path (ops/retrieval.score_and_topk); slicing items_r drops the
+        # phantom table-padding columns before they are ever computed
+        scores = jnp.dot(users_r[users], items_r[:self.n_items].T,
+                         preferred_element_type=jnp.bfloat16)
         scores = mask_train_items(scores, self.pos_padded[users],
-                                  self.n_items)      # positives + phantoms
+                                  self.n_items)      # positives
         keep = jax.random.bernoulli(
             k_cand, self.n_candidates / self.n_items, scores.shape)
-        scores = jnp.where(keep, scores, NEG_INF)
+        scores = jnp.where(keep, scores, NEG_INF.astype(scores.dtype))
 
         # hardest negatives: top-K of masked scores (global item ids);
         # approx_max_k on large catalogs — mining needs no exactness
