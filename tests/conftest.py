@@ -43,3 +43,18 @@ def dummy_data():
 @pytest.fixture()
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_retrieval_env():
+    """Retrieval-mode env opt-ins are read at trace time; a test (or the
+    CLI it drives) flipping one must never leak it into later tests."""
+    keys = ('TEXTGCN_TPU_APPROX_TOPK', 'TEXTGCN_TPU_BLOCKED_TOPK',
+            'TEXTGCN_TPU_ADV_TOPK')
+    saved = {k: os.environ.get(k) for k in keys}
+    yield
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v

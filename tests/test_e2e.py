@@ -206,7 +206,11 @@ def test_cli_approx_topk_flag(tmp_path, dummy_dir, monkeypatch):
     from textgcn_tpu.cli import main
 
     monkeypatch.chdir(tmp_path)
-    monkeypatch.delenv('TEXTGCN_TPU_APPROX_TOPK', raising=False)
+    # setenv('') records the variable's (absent) prior state so teardown
+    # removes whatever main() sets — delenv(raising=False) on an absent
+    # var records nothing and would leak the serving mode into every
+    # later test in the process ('' parses to 0.0 = exact meanwhile)
+    monkeypatch.setenv('TEXTGCN_TPU_APPROX_TOPK', '')
     trainer = main(['--model', 'lgcn', '--data', str(dummy_dir),
                     '--epochs', '4', '--evaluate_every', '2',
                     '--batch_size', '16', '--emb_size', '16',
