@@ -230,6 +230,11 @@ def bench_size(name, n_users, n_items, avg_deg, backends):
            'n_items': n_items, 'value': round(ups, 1)}
     print(json.dumps(rec), flush=True)
     records.append(rec)
+    rec = {'size': name, 'metric': 'serving_eval_users_per_s',
+           'n_items': n_items, 'approx': 0.95,
+           'value': round(time_eval(n_items, approx=0.95), 1)}
+    print(json.dumps(rec), flush=True)
+    records.append(rec)
     return records
 
 
