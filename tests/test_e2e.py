@@ -197,6 +197,39 @@ def test_cli_mesh_end_to_end(tmp_path, dummy_dir, monkeypatch):
     assert (run_dir / 'best.pkl').exists()
 
 
+def test_steps_per_call_chunked_epoch_equivalence(tmp_path, dummy_dir):
+    """--steps_per_call splits the epoch scan across device calls with an
+    identical sampling/dropout/optimizer sequence: params and metrics must
+    match the whole-epoch-in-one-call default exactly (incl. a remainder
+    chunk when steps_per_call doesn't divide n_batches)."""
+    from textgcn_tpu.config import Config
+    from textgcn_tpu.data.core import load_interactions
+    from textgcn_tpu.models.lightgcn import LightGCN
+    from textgcn_tpu.train.trainer import Trainer
+
+    def run(m):
+        cfg = Config(model='lgcn', data=str(dummy_dir), epochs=5,
+                     evaluate_every=5, batch_size=16, emb_size=16,
+                     n_layers=2, dropout=0.4, k=(3,), save=False,
+                     steps_per_call=m,
+                     save_path=str(tmp_path / f'spc{m}')).finalize()
+        data = load_interactions(cfg.data)
+        model = LightGCN(cfg, data)
+        tr = Trainer(cfg, model, data)
+        assert model.num_batches(cfg.batch_size) > 2  # exercises remainder
+        tr.fit()
+        return tr
+
+    a, b = run(0), run(2)
+    np.testing.assert_allclose(np.asarray(b.params['user_emb']),
+                               np.asarray(a.params['user_emb']), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.params['item_emb']),
+                               np.asarray(a.params['item_emb']), atol=1e-6)
+    for m in a.metrics_logger:
+        np.testing.assert_allclose(b.metrics_logger[m],
+                                   a.metrics_logger[m], atol=1e-6)
+
+
 def test_cli_approx_topk_flag(tmp_path, dummy_dir, monkeypatch):
     """--approx_topk exports the serving opt-in before any tracing and the
     run still trains/evaluates end-to-end (on CPU approx_max_k falls back

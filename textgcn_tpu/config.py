@@ -113,6 +113,11 @@ class Config:
     approx_topk: float = 0.0      # serving mode: retrieval via the TPU
                                   # partial reduction (lax.approx_max_k) at
                                   # this recall target; 0 = exact (default)
+    steps_per_call: int = 0       # split the jitted epoch scan into device
+                                  # calls of at most this many steps (0 =
+                                  # whole epoch in one call); identical
+                                  # math/RNG — bounds device-call runtime
+                                  # for preemption/relay robustness
 
     # --- derived (filled by finalize()) -------------------------------------
     save_path: str = field(default='', compare=False)
@@ -216,6 +221,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help='serving mode: retrieval top-k via the TPU-native '
                         'approx_max_k partial reduction at this recall '
                         'target (e.g. 0.95); 0 = exact (default)')
+    p.add_argument('--steps_per_call', type=int, default=d.steps_per_call,
+                   help='cap train steps per jitted device call (0 = whole '
+                        'epoch in one call); identical math, bounds '
+                        'device-call runtime')
     return p
 
 
@@ -241,7 +250,7 @@ def parse_args(argv: list[str] | None = None) -> Config:
         seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
         use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,
-        approx_topk=ns.approx_topk,
+        approx_topk=ns.approx_topk, steps_per_call=ns.steps_per_call,
     ).finalize()
     cfg.validate()
     return cfg

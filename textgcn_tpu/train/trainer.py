@@ -116,7 +116,7 @@ class Trainer:
             batch_sh = NamedSharding(self.mesh,
                                      PartitionSpec(None, DATA_AXIS))
 
-        def epoch(params, opt_state, key, captured):
+        def sample(key, captured):
             # model device arrays enter as jit ARGUMENTS (via `captured`)
             # and are rebound for the duration of the trace — closing
             # over them would embed them as compiled-program constants
@@ -127,8 +127,10 @@ class Trainer:
                     batches = tuple(
                         jax.lax.with_sharding_constraint(b, batch_sh)
                         for b in batches)
-                drop_keys = jax.random.split(k_drop, n_batches)
+            return batches, jax.random.split(k_drop, n_batches)
 
+        def run_steps(params, opt_state, xs, captured):
+            with model.bound(captured):
                 def step(carry, xs):
                     params, opt_state = carry
                     *batch, dk = xs
@@ -142,16 +144,48 @@ class Trainer:
                                                  *(aux[c] for c in comps))
 
                 (params, opt_state), (losses, *comp_vals) = jax.lax.scan(
-                    step, (params, opt_state), (*batches, drop_keys))
+                    step, (params, opt_state), xs)
             sums = {c: v.sum() for c, v in zip(comps, comp_vals)}
             sums['loss'] = losses.sum()
             sums['nan'] = jnp.isnan(losses).any()
             return params, opt_state, sums
 
-        jitted = jax.jit(epoch, donate_argnums=(0, 1))
+        def epoch(params, opt_state, key, captured):
+            batches, drop_keys = sample(key, captured)
+            return run_steps(params, opt_state, (*batches, drop_keys),
+                             captured)
+
         captured = model.captured_state()
-        return lambda params, opt_state, key: jitted(params, opt_state,
-                                                     key, captured)
+        m = getattr(cfg, 'steps_per_call', 0)
+        if not (0 < m < n_batches):
+            jitted = jax.jit(epoch, donate_argnums=(0, 1))
+            return lambda params, opt_state, key: jitted(
+                params, opt_state, key, captured)
+
+        # chunked epoch: identical sampling/optimizer/RNG sequence, but the
+        # scan is consumed ``m`` steps per device call so no single call
+        # runs unboundedly long (relay/preemption robustness + progress
+        # granularity; a 977-step whole-epoch program at production scale
+        # is a single ~150 s device call).  Two compiled variants at most:
+        # chunk size m and the final remainder.
+        sample_j = jax.jit(sample)
+        chunk_j = jax.jit(run_steps, donate_argnums=(0, 1))
+
+        def chunked(params, opt_state, key):
+            batches, drop_keys = sample_j(key, captured)
+            sums = None
+            for i in range(0, n_batches, m):
+                xs = tuple(b[i:i + m] for b in (*batches, drop_keys))
+                params, opt_state, s = chunk_j(params, opt_state, xs,
+                                               captured)
+                if sums is None:
+                    sums = s
+                else:
+                    sums = {k: (sums[k] | s[k]) if k == 'nan'
+                            else sums[k] + s[k] for k in sums}
+            return params, opt_state, sums
+
+        return chunked
 
     def _make_eval_fn(self):
         model, mesh = self.model, self.mesh
