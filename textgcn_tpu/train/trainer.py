@@ -170,12 +170,19 @@ class Trainer:
         # chunk size m and the final remainder.
         sample_j = jax.jit(sample)
         chunk_j = jax.jit(run_steps, donate_argnums=(0, 1))
+        # offset enters as an ARGUMENT so all full-size chunks share one
+        # compiled slice program (b[i:i+m] would compile one tiny program
+        # per distinct offset — expensive through a remote compile service)
+        take = jax.jit(
+            lambda b, i, size: jax.lax.dynamic_slice_in_dim(b, i, size, 0),
+            static_argnames=('size',))
 
         def chunked(params, opt_state, key):
             batches, drop_keys = sample_j(key, captured)
             sums = None
             for i in range(0, n_batches, m):
-                xs = tuple(b[i:i + m] for b in (*batches, drop_keys))
+                size = min(m, n_batches - i)
+                xs = tuple(take(b, i, size) for b in (*batches, drop_keys))
                 params, opt_state, s = chunk_j(params, opt_state, xs,
                                                captured)
                 if sums is None:
