@@ -137,9 +137,13 @@ def test_mesh_trainer_end_to_end(dummy_dir, mesh, tmp_path):
     from textgcn_tpu.train.trainer import Trainer
 
     def run(use_mesh):
+        # the mesh run also chunks its epoch scan (steps_per_call) so the
+        # sharded-batch + donated-params interplay of the chunked path is
+        # covered: results must still equal the single-device whole-epoch run
         cfg = Config(model='lgcn', data=str(dummy_dir), epochs=8,
                      evaluate_every=4, batch_size=16, emb_size=16,
                      n_layers=2, dropout=0.0, k=(3, 5), save=False,
+                     steps_per_call=2 if use_mesh else 0,
                      save_path=str(tmp_path / f'm{use_mesh}')).finalize()
         data = load_interactions(cfg.data)
         m = None
