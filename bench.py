@@ -49,13 +49,17 @@ def synth_edges(seed=0):
 # ---------------------------------------------------------------------------
 # JAX path (ours)
 
-def bench_jax(steps=30, warmup=5):
+def bench_jax(steps=30, warmup=5, refresh=0):
+    """``refresh`` > 0 benchmarks cached-propagation mode
+    (--refresh_every): the propagated part refreshes every ``refresh``
+    steps inside the scan, fresh ego term in between (the Trainer's
+    cached epoch shape)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from textgcn_tpu.models.losses import bpr_loss, reg_loss
-    from textgcn_tpu.ops.propagate import representation
+    from textgcn_tpu.ops.propagate import propagate_rest, representation
     from textgcn_tpu.ops.pallas_spmm import PallasGraphOp
 
     eu, ei, w = synth_edges()
@@ -74,10 +78,15 @@ def bench_jax(steps=30, warmup=5):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    def loss_fn(params, graph_op, users, pos, negs, key):
-        u_repr, i_repr = representation(
-            params, graph_op, LAYERS, single=False, dropout=DROPOUT,
-            dropout_key=key)
+    def loss_fn(params, rest, graph_op, users, pos, negs, key):
+        if refresh:
+            inv = 1.0 / (LAYERS + 1)
+            u_repr = (params['user_emb'] + rest[0]) * inv
+            i_repr = (params['item_emb'] + rest[1]) * inv
+        else:
+            u_repr, i_repr = representation(
+                params, graph_op, LAYERS, single=False, dropout=DROPOUT,
+                dropout_key=key)
         ue = u_repr[users]
         pos_s = (ue * i_repr[pos]).sum(-1)
         neg_s = (ue[:, None, :] * i_repr[negs]).sum(-1)
@@ -91,23 +100,34 @@ def bench_jax(steps=30, warmup=5):
     # op is a jit ARGUMENT (pytree), not a closed-over constant.
     @jax.jit
     def run(params, opt_state, key, graph_op):
+        rest0 = (jnp.zeros_like(params['user_emb']),
+                 jnp.zeros_like(params['item_emb']))
+
         def step(carry, key):
-            params, opt_state = carry
+            params, opt_state, rest, age = carry
             k_b, k_d = jax.random.split(key)
             ku, kp, kn = jax.random.split(k_b, 3)
             users = jax.random.randint(ku, (BATCH,), 0, N_USERS)
             pos = jax.random.randint(kp, (BATCH,), 0, N_ITEMS)
             negs = jax.random.randint(kn, (BATCH, 1), 0, N_ITEMS)
+            if refresh:
+                k_r, k_d = jax.random.split(k_d)
+                rest = jax.lax.cond(
+                    jax.lax.rem(age, refresh) == 0,
+                    lambda p: propagate_rest(
+                        p, graph_op, LAYERS, dropout=DROPOUT,
+                        dropout_key=k_r),
+                    lambda p: rest, params)
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, graph_op, users, pos, negs, k_d)
+                params, rest, graph_op, users, pos, negs, k_d)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            return (params, opt_state, rest, age + 1), loss
 
         keys = jax.random.split(key, steps)
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), keys)
+        (params, opt_state, *_), losses = jax.lax.scan(
+            step, (params, opt_state, rest0, jnp.int32(0)), keys)
         return params, opt_state, losses
 
     params, opt_state, losses = run(params, opt_state, jax.random.key(1),
@@ -422,11 +442,12 @@ def main():
 
     jax_eps, jax_step = bench_jax(steps=args.steps)
     eval_ups = bench_eval_jax()
-    adv_ms = adv_eps = ltr_ups = serving_ups = None
+    adv_ms = adv_eps = ltr_ups = serving_ups = cached_eps = None
     if not args.skip_extras:
         adv_ms, adv_eps = bench_adv_jax()
         ltr_ups = bench_ltr_eval()
         serving_ups = bench_eval_jax(approx=0.95)
+        cached_eps, _ = bench_jax(steps=args.steps, refresh=8)
     if args.skip_baseline:
         torch_eps = eval_ups_t = None
     else:
@@ -452,6 +473,8 @@ def main():
             'ltr_eval_users_per_s': round(ltr_ups, 1) if ltr_ups else None,
             'serving_eval_users_per_s_approx95': round(serving_ups, 1)
             if serving_ups else None,
+            'cached_train_examples_per_s_r8': round(cached_eps, 1)
+            if cached_eps else None,
             'device': str(jax.devices()[0]),
             'n_users': N_USERS, 'n_items': N_ITEMS,
             'batch': BATCH, 'emb': EMB, 'layers': LAYERS,

@@ -1,0 +1,157 @@
+"""Cached propagation (--refresh_every): throughput mode that refreshes
+the propagated (non-ego) part every N steps instead of per step.
+
+No reference counterpart (the reference backpropagates through a full
+propagation every batch, ``base_model.py:148,181-184``); this is a
+TPU-native production-training feature — at scale the train step is
+~95-99% SpMM time (SCALE.md), so amortizing it is the one remaining
+throughput lever.  Exact semantics stay the default (refresh_every=0).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textgcn_tpu.config import Config
+from textgcn_tpu.data.core import load_interactions
+from textgcn_tpu.models.lightgcn import LightGCN
+from textgcn_tpu.train.trainer import Trainer
+
+
+def make_cfg(tmp_path, dummy_dir, **kw):
+    defaults = dict(model='lgcn', data=str(dummy_dir), epochs=5,
+                    evaluate_every=5, batch_size=16, emb_size=16,
+                    n_layers=2, dropout=0.2, k=(3,), save=False, seed=0,
+                    save_path=str(tmp_path / 'run'))
+    defaults.update(kw)
+    cfg = Config(**defaults).finalize()
+    cfg.validate()
+    return cfg
+
+
+def _model(tmp_path, dummy_dir, **kw):
+    cfg = make_cfg(tmp_path, dummy_dir, **kw)
+    data = load_interactions(cfg.data)
+    return cfg, data, LightGCN(cfg, data)
+
+
+def test_rest_plus_ego_equals_representation(tmp_path, dummy_dir):
+    """cached_reprs(params, propagate_rest(params)) must equal the exact
+    layer-mean representation (no dropout)."""
+    cfg, data, model = _model(tmp_path, dummy_dir, dropout=0.0)
+    params = model.init_params(jax.random.key(1))
+    rest = model.propagate_rest(params)
+    cu, ci = model.cached_reprs(params, rest)
+    e_u, e_i = model.representation(params, training=False)
+    np.testing.assert_allclose(np.asarray(cu), np.asarray(e_u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ci), np.asarray(e_i), atol=1e-6)
+
+
+def test_rest_identity_under_dropout_same_key(tmp_path, dummy_dir):
+    """With an identical dropout key the cached decomposition reproduces
+    the exact training-time representation bit-for-bit in structure."""
+    cfg, data, model = _model(tmp_path, dummy_dir, dropout=0.4)
+    params = model.init_params(jax.random.key(2))
+    key = jax.random.key(7)
+    exact_u, exact_i = model.representation(params, training=True,
+                                            dropout_key=key)
+    rest = model.propagate_rest(params, key)
+    cu, ci = model.cached_reprs(params, rest)
+    np.testing.assert_allclose(np.asarray(cu), np.asarray(exact_u),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ci), np.asarray(exact_i),
+                               atol=1e-6)
+
+
+def test_with_cached_rest_routes_training_representation(tmp_path,
+                                                         dummy_dir):
+    cfg, data, model = _model(tmp_path, dummy_dir, dropout=0.0)
+    params = model.init_params(jax.random.key(3))
+    rest = jax.tree.map(lambda a: a * 0 + 1.0,
+                        (params['user_emb'], params['item_emb']))
+    with model.with_cached_rest(rest):
+        cu, ci = model.representation(params, training=True)
+        # eval-time representation must IGNORE the cache
+        eu, ei = model.representation(params, training=False)
+    np.testing.assert_allclose(
+        np.asarray(cu),
+        np.asarray((params['user_emb'] + 1.0) / (cfg.n_layers + 1)),
+        atol=1e-6)
+    exact_u, _ = model.representation(params, training=False)
+    np.testing.assert_allclose(np.asarray(eu), np.asarray(exact_u))
+    assert model._cached_rest is None  # restored after the context
+
+
+def test_zero_layer_cached_training_is_exact(tmp_path, dummy_dir):
+    """With n_layers=0 the rest is identically zero, so cached training
+    must produce bitwise-identical parameters to exact training (same
+    seed) — validates the trainer's carry/refresh plumbing end to end."""
+    def run(refresh):
+        cfg = make_cfg(tmp_path, dummy_dir, n_layers=0, epochs=3,
+                       evaluate_every=3, refresh_every=refresh,
+                       uid=f'r{refresh}')
+        data = load_interactions(cfg.data)
+        model = LightGCN(cfg, data)
+        tr = Trainer(cfg, model, data)
+        tr.fit()
+        return np.asarray(tr.params['user_emb'])
+
+    np.testing.assert_array_equal(run(0), run(1))
+
+
+def test_chunked_cached_epoch_equivalence(tmp_path, dummy_dir):
+    """The (rest, age) carry must thread across steps_per_call chunk
+    boundaries: chunked == whole-epoch cached training exactly."""
+    def run(m):
+        cfg = make_cfg(tmp_path, dummy_dir, refresh_every=3, epochs=4,
+                       evaluate_every=4, dropout=0.4,
+                       steps_per_call=m, uid=f'spc{m}')
+        data = load_interactions(cfg.data)
+        model = LightGCN(cfg, data)
+        tr = Trainer(cfg, model, data)
+        assert model.num_batches(cfg.batch_size) > 3
+        tr.fit()
+        return (np.asarray(tr.params['user_emb']),
+                {k: v.copy() for k, v in tr.metrics_logger.items()})
+
+    p_whole, m_whole = run(0)
+    p_chunk, m_chunk = run(2)
+    np.testing.assert_allclose(p_whole, p_chunk, atol=1e-6)
+    for k in m_whole:
+        np.testing.assert_allclose(m_whole[k], m_chunk[k], atol=1e-6)
+
+
+def test_cached_training_learns(tmp_path, dummy_dir):
+    """refresh_every=2 on the dummy fixture still trains a useful model
+    (beats random recall@3 on 10 items ~ 0.3 scaled by test size)."""
+    cfg = make_cfg(tmp_path, dummy_dir, epochs=30, evaluate_every=10,
+                   refresh_every=2, uid='learn')
+    data = load_interactions(cfg.data)
+    model = LightGCN(cfg, data)
+    tr = Trainer(cfg, model, data)
+    tr.fit()
+    hist = tr.metrics_logger['recall']
+    assert np.isfinite(hist).all()
+    assert hist[-1][0] > 0.05
+
+
+def test_mesh_cached_training_runs(tmp_path, dummy_dir):
+    """Cached propagation under the 8-device mesh: the refresh cond wraps
+    the mesh graph op (shard_map/GSPMD inside a lax.cond branch)."""
+    from textgcn_tpu.parallel.mesh import make_mesh, shard_model
+
+    cfg = make_cfg(tmp_path, dummy_dir, refresh_every=2, epochs=2,
+                   evaluate_every=2, dropout=0.0, uid='mesh')
+    mesh = make_mesh((4, 2))
+    data = load_interactions(cfg.data).padded_to(mesh.size)
+    model = LightGCN(cfg, data)
+    shard_model(mesh, model)
+    tr = Trainer(cfg, model, data, mesh=mesh)
+    tr.fit()
+    assert np.isfinite(tr.metrics_logger['recall']).all()
+
+
+def test_single_rejected(tmp_path, dummy_dir):
+    with pytest.raises(AssertionError):
+        make_cfg(tmp_path, dummy_dir, refresh_every=2, single=True)

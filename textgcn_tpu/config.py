@@ -118,6 +118,12 @@ class Config:
                                   # whole epoch in one call); identical
                                   # math/RNG — bounds device-call runtime
                                   # for preemption/relay robustness
+    refresh_every: int = 0        # cached propagation: recompute the
+                                  # propagated (non-ego) part every N train
+                                  # steps, fresh ego term in between
+                                  # (decoupled-propagation approximation);
+                                  # 0 = exact per-step propagation (default,
+                                  # reference semantics)
 
     # --- derived (filled by finalize()) -------------------------------------
     save_path: str = field(default='', compare=False)
@@ -150,6 +156,10 @@ class Config:
         assert self.epochs >= 1 and self.batch_size >= 1
         assert 0.0 <= self.approx_topk < 1.0, \
             'approx_topk is a recall target in [0, 1); 0 disables'
+        assert self.refresh_every >= 0
+        assert not (self.refresh_every and self.single), \
+            'cached propagation (--refresh_every) requires the layer-mean ' \
+            'combination; --single has no ego term to keep fresh'
 
     @property
     def mesh_shape(self) -> tuple[int, int]:
@@ -225,6 +235,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help='cap train steps per jitted device call (0 = whole '
                         'epoch in one call); identical math, bounds '
                         'device-call runtime')
+    p.add_argument('--refresh_every', type=int, default=d.refresh_every,
+                   help='cached propagation: refresh the propagated part '
+                        'every N steps instead of per step (throughput '
+                        'mode, approximate gradients); 0 = exact (default)')
     return p
 
 
@@ -251,6 +265,7 @@ def parse_args(argv: list[str] | None = None) -> Config:
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
         use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,
         approx_topk=ns.approx_topk, steps_per_call=ns.steps_per_call,
+        refresh_every=ns.refresh_every,
     ).finalize()
     cfg.validate()
     return cfg

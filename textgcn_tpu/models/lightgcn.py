@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.core import InteractionData
+from ..ops.propagate import propagate_rest as _propagate_rest
 from ..ops.propagate import representation as _representation
 from ..ops.retrieval import score_and_topk
 from ..ops.sampling import batch_epoch, sample_epoch
@@ -113,14 +114,58 @@ class LightGCN:
 
     # --- representation ----------------------------------------------------
 
+    # cached-propagation support (--refresh_every): while a stale "rest" is
+    # bound, training-time representations use fresh ego tables + the stale
+    # propagated part — the loss methods of every model family route
+    # through representation(training=True), so they all inherit it
+    supports_cached_propagation = True
+    _cached_rest = None
+
     def representation(self, params, *, training: bool = False,
                        dropout_key=None):
         """Propagated (users_repr, items_repr); edge dropout in training
-        (reference ``base_model.py:93-106``)."""
+        (reference ``base_model.py:93-106``).  Under ``with_cached_rest``
+        the training-time representation is ``cached_reprs`` instead (eval
+        always propagates exactly)."""
+        if training and self._cached_rest is not None:
+            return self.cached_reprs(params, self._cached_rest)
         return _representation(
             params, self.graph_op, self.n_layers, single=self.single,
             dropout=self.dropout if training else 0.0,
             dropout_key=dropout_key)
+
+    def propagate_rest(self, params, dropout_key=None):
+        """The cacheable Σ_{l>=1} propagated layers (training dropout);
+        see ``ops.propagate.propagate_rest``."""
+        return _propagate_rest(
+            params, self.graph_op, self.n_layers,
+            dropout=self.dropout, dropout_key=dropout_key)
+
+    def cached_reprs(self, params, rest):
+        """Layer-mean representation from fresh ego tables + a stale
+        ``rest``: gradients flow through the layer-0 tables only."""
+        assert not self.single, \
+            'cached propagation requires the layer-mean combination ' \
+            '(--single has no ego term to keep fresh)'
+        inv = 1.0 / (self.n_layers + 1)
+        return ((params['user_emb'] + rest[0]) * inv,
+                (params['item_emb'] + rest[1]) * inv)
+
+    def with_cached_rest(self, rest):
+        """Context manager binding a stale ``rest`` for the duration of a
+        traced loss call (same pattern as ``bound``)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            old = self._cached_rest
+            self._cached_rest = rest
+            try:
+                yield self
+            finally:
+                self._cached_rest = old
+
+        return _ctx()
 
     # --- scoring -----------------------------------------------------------
 

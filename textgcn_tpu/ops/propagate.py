@@ -87,6 +87,36 @@ def propagate(user_emb, item_emb, edge_user, edge_item, w_u2i, w_i2u,
     return acc_u * inv, acc_i * inv
 
 
+def propagate_rest(params, graph_op, n_layers: int, *,
+                   dropout: float = 0.0, dropout_key=None):
+    """The cacheable non-ego part of the layer-mean representation.
+
+    Returns ``(rest_u, rest_i) = (Σ_{l=1..L} u_l, Σ_{l=1..L} i_l)`` — the
+    propagated layers WITHOUT the layer-0 (ego) term, so
+
+        representation == ((user_emb + rest_u), (item_emb + rest_i)) / (L+1).
+
+    Cached-propagation training (``--refresh_every N``) recomputes this
+    every N steps and keeps the ego term fresh in between: gradients then
+    flow through the layer-0 tables only (decoupled propagation, in the
+    propagate-then-predict spirit of APPNP/PPRGo), trading the per-step
+    SpMM — ~95-99% of the train step at production scale (SCALE.md) — for
+    an amortized refresh.  Exact semantics (the reference's, every step
+    backpropagates through propagation) remain the default.
+    """
+    key = dropout_key if dropout > 0.0 else None
+    w_to_user, w_to_item = graph_op.weights(key, dropout)
+    u, i = params['user_emb'], params['item_emb']
+    acc_u = jnp.zeros_like(u)
+    acc_i = jnp.zeros_like(i)
+    for _ in range(n_layers):
+        u, i = (graph_op.to_user(i, w_to_user),
+                graph_op.to_item(u, w_to_item))
+        acc_u = acc_u + u
+        acc_i = acc_i + i
+    return acc_u, acc_i
+
+
 def representation(params, graph_op, n_layers: int, *, single: bool,
                    dropout: float = 0.0, dropout_key=None):
     """Full model representation: propagate embedding tables over the graph.

@@ -109,6 +109,20 @@ class Trainer:
         model, cfg = self.model, self.cfg
         comps = self.loss_components
 
+        # cached propagation (--refresh_every N): the scan carries the
+        # stale propagated "rest" plus a step age; the rest refreshes (one
+        # full dropout propagation) every N steps and the loss runs against
+        # fresh-ego + stale-rest representations in between
+        refresh = getattr(cfg, 'refresh_every', 0)
+        if refresh:
+            if not getattr(model, 'supports_cached_propagation', False):
+                raise ValueError(
+                    f'--refresh_every is not supported by model '
+                    f'{cfg.model!r} (no cached-propagation path)')
+            if getattr(model, 'single', False):
+                raise ValueError('--refresh_every requires the layer-mean '
+                                 'combination (incompatible with --single)')
+
         batch_sh = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -129,31 +143,53 @@ class Trainer:
                         for b in batches)
             return batches, jax.random.split(k_drop, n_batches)
 
-        def run_steps(params, opt_state, xs, captured):
+        def init_extra(params):
+            if not refresh:
+                return ()
+            rest0 = (jnp.zeros_like(params['user_emb']),
+                     jnp.zeros_like(params['item_emb']))
+            return (rest0, jnp.int32(0))
+
+        def run_steps(params, opt_state, extra, xs, captured):
             with model.bound(captured):
                 def step(carry, xs):
-                    params, opt_state = carry
+                    params, opt_state, extra = carry
                     *batch, dk = xs
-                    (loss, aux), grads = jax.value_and_grad(
-                        model.loss, has_aux=True)(params, tuple(batch),
-                                                  dk)
+                    if refresh:
+                        rest, age = extra
+                        k_ref, dk = jax.random.split(dk)
+                        rest = jax.lax.cond(
+                            jax.lax.rem(age, refresh) == 0,
+                            lambda p: model.propagate_rest(p, k_ref),
+                            lambda p: rest, params)
+                        ctx = model.with_cached_rest(rest)
+                        extra = (rest, age + 1)
+                    else:
+                        import contextlib
+                        ctx = contextlib.nullcontext()
+                    with ctx:
+                        (loss, aux), grads = jax.value_and_grad(
+                            model.loss, has_aux=True)(params, tuple(batch),
+                                                      dk)
                     updates, opt_state = self.optimizer.update(
                         grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
-                    return (params, opt_state), (loss,
-                                                 *(aux[c] for c in comps))
+                    return (params, opt_state, extra), (
+                        loss, *(aux[c] for c in comps))
 
-                (params, opt_state), (losses, *comp_vals) = jax.lax.scan(
-                    step, (params, opt_state), xs)
+                (params, opt_state, extra), (losses, *comp_vals) = \
+                    jax.lax.scan(step, (params, opt_state, extra), xs)
             sums = {c: v.sum() for c, v in zip(comps, comp_vals)}
             sums['loss'] = losses.sum()
             sums['nan'] = jnp.isnan(losses).any()
-            return params, opt_state, sums
+            return params, opt_state, extra, sums
 
         def epoch(params, opt_state, key, captured):
             batches, drop_keys = sample(key, captured)
-            return run_steps(params, opt_state, (*batches, drop_keys),
-                             captured)
+            params, opt_state, _, sums = run_steps(
+                params, opt_state, init_extra(params),
+                (*batches, drop_keys), captured)
+            return params, opt_state, sums
 
         captured = model.captured_state()
         m = getattr(cfg, 'steps_per_call', 0)
@@ -169,7 +205,8 @@ class Trainer:
         # is a single ~150 s device call).  Two compiled variants at most:
         # chunk size m and the final remainder.
         sample_j = jax.jit(sample)
-        chunk_j = jax.jit(run_steps, donate_argnums=(0, 1))
+        chunk_j = jax.jit(run_steps, donate_argnums=(0, 1, 2))
+        init_extra_j = jax.jit(init_extra)
         # offset enters as an ARGUMENT so all full-size chunks share one
         # compiled slice program (b[i:i+m] would compile one tiny program
         # per distinct offset — expensive through a remote compile service)
@@ -179,12 +216,13 @@ class Trainer:
 
         def chunked(params, opt_state, key):
             batches, drop_keys = sample_j(key, captured)
+            extra = init_extra_j(params)
             sums = None
             for i in range(0, n_batches, m):
                 size = min(m, n_batches - i)
                 xs = tuple(take(b, i, size) for b in (*batches, drop_keys))
-                params, opt_state, s = chunk_j(params, opt_state, xs,
-                                               captured)
+                params, opt_state, extra, s = chunk_j(
+                    params, opt_state, extra, xs, captured)
                 if sums is None:
                     sums = s
                 else:
