@@ -192,3 +192,35 @@ def test_mesh_eval_uses_ltr_head(ltr_data, tmp_path, dummy_dir):
     r_single = tr_single.evaluate()
     for m in r_single:
         np.testing.assert_allclose(r_mesh[m], r_single[m], atol=1e-4)
+
+
+def test_fused_sharded_topk_matches_single(ltr_data, tmp_path, dummy_dir):
+    """The catalog-sharded LTR eval (fused_catalog_inputs + sharded_topk
+    + bias) must return the same top-k values AND ids as the single-chip
+    fused scoring, including the folded popularity columns (WPop)."""
+    import jax.numpy as jnp
+    from textgcn_tpu.parallel.mesh import make_mesh, shard_model
+    from textgcn_tpu.parallel.sharded import sharded_topk
+
+    mesh = make_mesh((4, 2))
+    padded = ltr_data.padded_to(mesh.size)
+    cfg = make_cfg(tmp_path, dummy_dir, uid='fusedsh', model='ltr_pop',
+                   dropout=0.0)
+    model = LTRLinearWPop(cfg, padded)
+    assert model.supports_fused_sharded_topk
+    shard_model(mesh, model)
+    params = model.init_params(jax.random.key(0))
+    reprs = model.representation(params, training=False)
+    bu = jnp.arange(padded.n_users, dtype=jnp.int32)
+
+    vals_s, idx_s = model.topk_for_users(params, reprs, bu, 5)
+
+    u_cat, i_cat, bias = model.fused_catalog_inputs(params, reprs, bu)
+    vals_m, idx_m = sharded_topk(mesh, u_cat, i_cat,
+                                 model.pos_padded[bu], 5,
+                                 n_valid=model.n_items)
+    vals_m = vals_m + bias
+
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_s))
+    np.testing.assert_allclose(np.asarray(vals_m), np.asarray(vals_s),
+                               atol=1e-5)

@@ -109,8 +109,12 @@ class LTRLinear(LightGCN):
                                            self.n_users_t)
         # distributed top-k shortcuts score with a plain dot product; any
         # model with a scoring head must take the head-aware eval path
-        # (Trainer._make_eval_fn checks this)
+        # (Trainer._make_eval_fn checks this).  The linear head factors
+        # into catalog-shardable (u_cat, i_cat) matrices, so under a mesh
+        # eval uses the explicit catalog-sharded top-k instead of GSPMD
+        # auto-partitioning the (B, n_items) score matrix.
         self.supports_plain_sharded_topk = False
+        self.supports_fused_sharded_topk = True
         # evaluate the loaded base with plain GCN scoring before the head
         # takes over (reference ltr_models.py:66-68,175-179)
         self.score_with_head = True
@@ -177,8 +181,17 @@ class LTRLinear(LightGCN):
         features = self.features_pairwise(u_vecs, i_vecs, users, items)
         return self.apply_tower(params, features)
 
-    def fused_batch_scores(self, params, reprs, batch_users):
-        """(B, n_items) scores via the collapsed-tower fused matmul."""
+    def fused_catalog_inputs(self, params, reprs, batch_users):
+        """Collapsed-tower factors ``(u_cat, i_cat, bias)`` such that the
+        full-catalog scores are exactly ``u_cat @ i_cat.T + bias``.
+
+        This factorization is what makes catalog-sharded distributed
+        retrieval possible for the LTR heads: ``i_cat`` rows shard over the
+        `model` mesh axis like a plain embedding table (the popularity
+        features are rank-1 and fold in as two extra matmul columns), so
+        eval never materializes the reference's ``(B, n_items, F)`` tensor
+        (``ltr_models.py:200-204``) on any chip.
+        """
         users_repr, items_repr = reprs
         w, b = collapse_tower(params['tower'])
         u_emb, u_rev, u_desc = self._user_vecs(users_repr, batch_users)
@@ -190,12 +203,19 @@ class LTRLinear(LightGCN):
         i_cat = jnp.concatenate(
             [items_repr, self.items_as_avg_reviews, self.items_as_desc],
             axis=-1)
-        scores = jnp.dot(u_cat, i_cat.T,
-                         preferred_element_type=jnp.float32) + b
-        return self._add_popularity(scores, w, batch_users)
+        u_cat, i_cat = self._popularity_factors(u_cat, i_cat, w,
+                                                batch_users)
+        return u_cat, i_cat, b
 
-    def _add_popularity(self, scores, w, batch_users):
-        return scores  # WPop subclass adds the rank-1 popularity terms
+    def fused_batch_scores(self, params, reprs, batch_users):
+        """(B, n_items) scores via the collapsed-tower fused matmul."""
+        u_cat, i_cat, b = self.fused_catalog_inputs(params, reprs,
+                                                    batch_users)
+        return jnp.dot(u_cat, i_cat.T,
+                       preferred_element_type=jnp.float32) + b
+
+    def _popularity_factors(self, u_cat, i_cat, w, batch_users):
+        return u_cat, i_cat  # WPop appends the rank-1 popularity columns
 
     def score_batchwise(self, params, reprs, users):
         if not self.score_with_head:
@@ -265,9 +285,16 @@ class LTRLinearWPop(LTRLinear):
             self.popularity_items[items],
         ], axis=-1)
 
-    def _add_popularity(self, scores, w, batch_users):
+    def _popularity_factors(self, u_cat, i_cat, w, batch_users):
         """Popularity features are rank-1 additive under the collapsed
-        tower: w5*pop_u broadcast over rows, w6*pop_i over columns."""
-        return (scores
-                + w[5] * self.popularity_users[batch_users]
-                + w[6] * self.popularity_items[:, 0][None, :])
+        tower (w5*pop_u over rows, w6*pop_i over columns), so they fold
+        into the fused matmul as two extra columns — keeping the factors
+        catalog-shardable."""
+        ones_u = jnp.ones((u_cat.shape[0], 1), u_cat.dtype)
+        ones_i = jnp.ones((i_cat.shape[0], 1), i_cat.dtype)
+        u_cat = jnp.concatenate(
+            [u_cat, w[5] * self.popularity_users[batch_users], ones_u],
+            axis=-1)
+        i_cat = jnp.concatenate(
+            [i_cat, ones_i, w[6] * self.popularity_items], axis=-1)
+        return u_cat, i_cat

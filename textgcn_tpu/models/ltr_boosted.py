@@ -46,6 +46,9 @@ class LTRGradientBoosted(LTRLinear):
         self.tree = self._make_tree(cfg)
         self._tree_fitted = False
         self._forest = None
+        # tree scoring is not a factorable matmul: the fused
+        # catalog-sharded eval path does not apply to this head
+        self.supports_fused_sharded_topk = False
 
     def _make_tree(self, cfg):
         if 'xgboost' in cfg.model:

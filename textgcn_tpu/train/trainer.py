@@ -242,6 +242,8 @@ class Trainer:
 
                 plain = getattr(model, 'supports_plain_sharded_topk',
                                 True)
+                fused = getattr(model, 'supports_fused_sharded_topk',
+                                False)
 
                 def one_batch(_, bu):
                     if mesh is not None and plain:
@@ -251,9 +253,21 @@ class Trainer:
                             mesh, users_repr[bu], items_repr,
                             model.pos_padded[bu], max_k,
                             n_valid=model.n_items)
+                    elif mesh is not None and fused:
+                        # LTR heads factor into catalog-shardable
+                        # (u_cat, i_cat, bias) matrices: explicit
+                        # catalog-sharded top-k, per-shard scores +
+                        # exact merge — ICI traffic O(B*k*shards), and
+                        # no chip holds the full (B, n_items) matrix
+                        from ..parallel.sharded import sharded_topk
+                        u_cat, i_cat, bias = model.fused_catalog_inputs(
+                            params, reprs, bu)
+                        vals, idx = sharded_topk(
+                            mesh, u_cat, i_cat, model.pos_padded[bu],
+                            max_k, n_valid=model.n_items)
+                        vals = vals + bias
                     else:
-                        # head-aware path (LTR fused scoring); under a
-                        # mesh GSPMD still partitions the score matmul
+                        # head-aware path (tree heads; single-chip LTR)
                         vals, idx = model.topk_for_users(params, reprs,
                                                          bu, max_k)
                     return None, (vals, idx)
