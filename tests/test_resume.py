@@ -1,0 +1,110 @@
+"""Crash-resume (--resume): restoring params + optimizer state + RNG +
+epoch + metrics must continue the trajectory identically to an
+uninterrupted run.
+
+No reference counterpart: the reference's ``load_model``
+(``base_model.py:278-289``) reloads tables only — a restart loses the
+Adam moments, the epoch counter, and the RNG position, perturbing the
+trajectory.  This is the failure-recovery subsystem SURVEY.md §5 calls
+for at production scale.
+"""
+
+import numpy as np
+import pytest
+
+from textgcn_tpu.config import Config
+from textgcn_tpu.data.core import load_interactions
+from textgcn_tpu.models.lightgcn import LightGCN
+from textgcn_tpu.train.trainer import Trainer
+
+
+def make_cfg(tmp_path, dummy_dir, uid, **kw):
+    defaults = dict(model='lgcn', data=str(dummy_dir), epochs=6,
+                    evaluate_every=2, batch_size=16, emb_size=16,
+                    n_layers=2, dropout=0.4, k=(3,), seed=0, uid=uid,
+                    save_path=str(tmp_path / uid))
+    defaults.update(kw)
+    cfg = Config(**defaults).finalize()
+    cfg.validate()
+    return cfg
+
+
+def _fit(cfg, data, resume_from=None):
+    model = LightGCN(cfg, data)
+    tr = Trainer(cfg, model, data)
+    if resume_from:
+        tr.resume(resume_from)
+    tr.fit()
+    return tr
+
+
+@pytest.mark.parametrize('backend', ['pickle', 'orbax'])
+def test_resume_matches_uninterrupted(tmp_path, dummy_dir, backend):
+    data = load_interactions(str(dummy_dir) + '/')
+
+    # uninterrupted 6-epoch run
+    cfg_full = make_cfg(tmp_path, dummy_dir, f'full-{backend}',
+                        ckpt_backend=backend)
+    tr_full = _fit(cfg_full, data)
+
+    # "crashed" after epoch 2 (first checkpoint), resumed to 6
+    cfg_a = make_cfg(tmp_path, dummy_dir, f'part-{backend}', epochs=2,
+                     ckpt_backend=backend)
+    _fit(cfg_a, data)
+    cfg_b = make_cfg(tmp_path, dummy_dir, f'part-{backend}', epochs=6,
+                     ckpt_backend=backend)
+    tr_res = _fit(cfg_b, data, resume_from=cfg_a.save_path)
+
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.params['user_emb']),
+        np.asarray(tr_full.params['user_emb']))
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.params['item_emb']),
+        np.asarray(tr_full.params['item_emb']))
+    for m in tr_full.metrics_logger:
+        np.testing.assert_array_equal(tr_res.metrics_logger[m],
+                                      tr_full.metrics_logger[m])
+    # optimizer moments equal too (the part load() deliberately drops)
+    import jax
+    for a, b in zip(jax.tree.leaves(tr_res.opt_state),
+                    jax.tree.leaves(tr_full.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_via_cli(tmp_path, dummy_dir):
+    """--resume end to end through the CLI."""
+    from textgcn_tpu.cli import main
+
+    run = str(tmp_path / 'runs' / 'dummy' / 'cli-res')
+    args = ['--model', 'lgcn', '--data', str(dummy_dir), '--batch_size',
+            '16', '--emb_size', '16', '-k', '3', '--evaluate_every', '2',
+            '--uid', 'cli-res']
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main(args + ['--epochs', '2'])
+        tr = main(args + ['--epochs', '4', '--resume', run])
+    finally:
+        os.chdir(cwd)
+    assert tr._start_epoch == 3
+    # 2 evals total: one restored from the first run's history + epoch 4
+    assert len(tr.metrics_logger['recall']) == 2
+
+
+def test_resume_excludes_load(tmp_path, dummy_dir):
+    with pytest.raises(AssertionError):
+        make_cfg(tmp_path, dummy_dir, 'bad', resume='somewhere',
+                 load='elsewhere')
+
+
+def test_no_resume_state_skips_file(tmp_path, dummy_dir):
+    import os
+    data = load_interactions(str(dummy_dir) + '/')
+    cfg = make_cfg(tmp_path, dummy_dir, 'nors', epochs=2,
+                   resume_state=False)
+    _fit(cfg, data)
+    assert os.path.exists(
+        os.path.join(cfg.save_path, 'latest_checkpoint.pkl'))
+    assert not os.path.exists(
+        os.path.join(cfg.save_path, 'resume_state.pkl'))

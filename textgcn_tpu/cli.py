@@ -80,7 +80,9 @@ def main(argv: list[str] | None = None):
     logger.info('Created model %s (%d users x %d items, %d edges)',
                 cfg.uid, data.n_users, data.n_items, data.graph.n_edges)
 
-    if cfg.load:
+    if cfg.resume:
+        trainer.resume(cfg.resume)
+    elif cfg.load:
         trainer.load(cfg.load)
     elif cfg.load_base:
         # warm-start from a pretrained LightGCN; the loaded base is

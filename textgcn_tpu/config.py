@@ -73,6 +73,13 @@ class Config:
     load: str | None = None
     no_train: bool = False
     predict: bool = False
+    resume: str | None = None     # crash-resume from a run dir: restores
+                                  # params + optimizer state + RNG + epoch
+                                  # + metrics — the continuation is
+                                  # identical to an uninterrupted run
+    resume_state: bool = True     # write resume_state alongside each
+                                  # latest checkpoint (--no_resume_state
+                                  # skips the extra ~2x-params write)
 
     # --- text pipeline (reference parser.py:126-145) ------------------------
     emb_batch_size: int = 256
@@ -152,6 +159,10 @@ class Config:
         assert self.model in MODEL_CHOICES, f'unknown model {self.model!r}'
         assert self.load is None or self.load_base is None, \
             'cannot load both base and trained model'  # reference parser.py:201
+        assert self.resume is None or (self.load is None
+                                       and self.load_base is None), \
+            '--resume restores full trainer state; it excludes ' \
+            '--load/--load_base'
         assert 0.0 <= self.dropout < 1.0
         assert self.epochs >= 1 and self.batch_size >= 1
         assert 0.0 <= self.approx_topk < 1.0, \
@@ -196,6 +207,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--save', action='store_true',
                    help='accepted for reference CLI compatibility (no-op)')
     p.add_argument('--load', type=str, default=None)
+    p.add_argument('--resume', type=str, default=None,
+                   help='crash-resume from a run dir: restores params, '
+                        'optimizer state, RNG, epoch, and metrics; the '
+                        'continuation is identical to an uninterrupted '
+                        'run (requires the same config)')
+    p.add_argument('--no_resume_state', action='store_true',
+                   help='skip writing resume_state alongside latest '
+                        'checkpoints')
     p.add_argument('--no_train', action='store_true')
     p.add_argument('--predict', action='store_true')
     p.add_argument('--emb_batch_size', type=int, default=d.emb_batch_size)
@@ -257,6 +276,7 @@ def parse_args(argv: list[str] | None = None) -> Config:
         dropout=ns.dropout, n_layers=ns.n_layers, single=ns.single,
         ltr_layers=tuple(ns.ltr_layers), freeze=ns.freeze,
         load_base=ns.load_base, save=not ns.no_save, load=ns.load,
+        resume=ns.resume, resume_state=not ns.no_resume_state,
         no_train=ns.no_train, predict=ns.predict,
         emb_batch_size=ns.emb_batch_size, bert_model=ns.bert_model,
         sep=ns.sep, weight=weight, distance=distance, dist_fn=ns.dist_fn,

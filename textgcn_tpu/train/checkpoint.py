@@ -31,6 +31,7 @@ class PickleCheckpointer:
 
     latest_name = 'latest_checkpoint.pkl'
     best_name = 'best.pkl'
+    resume_name = 'resume_state.pkl'
     cooperative = False
 
     def save_latest(self, save_path: str, state: dict):
@@ -50,6 +51,19 @@ class PickleCheckpointer:
         with open(path, 'rb') as f:
             return pickle.load(f)
 
+    def save_resume(self, save_path: str, payload: dict):
+        """Trainer-side resume payload (flat opt-state leaves, RNG key
+        data, epoch, metrics history) — see ``Trainer.resume``."""
+        payload = jax.tree.map(np.asarray, payload)
+        with open(os.path.join(save_path, self.resume_name), 'wb') as f:
+            pickle.dump(payload, f)
+
+    def load_resume(self, path: str) -> dict:
+        if os.path.isdir(path):
+            path = os.path.join(path, self.resume_name)
+        with open(path, 'rb') as f:
+            return pickle.load(f)
+
 
 class OrbaxCheckpointer:
     """Sharded backend for mesh runs (Orbax PyTreeCheckpointer).
@@ -60,6 +74,7 @@ class OrbaxCheckpointer:
 
     latest_name = 'latest_checkpoint.orbax'
     best_name = 'best.orbax'
+    resume_name = 'resume_state.orbax'
     cooperative = True
 
     def __init__(self):
@@ -67,10 +82,8 @@ class OrbaxCheckpointer:
         self._ocp = ocp
         self._ckptr = ocp.PyTreeCheckpointer()
 
-    def save_latest(self, save_path: str, state: dict):
-        os.makedirs(save_path, exist_ok=True)
-        target = os.path.abspath(
-            os.path.join(save_path, self.latest_name))
+    @staticmethod
+    def _clear(target: str):
         # clearing the previous checkpoint is a filesystem mutation on a
         # shared path: primary-only, with a barrier so no process starts
         # the cooperative save into a directory mid-deletion
@@ -81,9 +94,25 @@ class OrbaxCheckpointer:
             multihost_utils.sync_global_devices('textgcn_ckpt_clear')
         elif os.path.exists(target):
             shutil.rmtree(target)
+
+    def save_latest(self, save_path: str, state: dict):
+        os.makedirs(save_path, exist_ok=True)
+        target = os.path.abspath(
+            os.path.join(save_path, self.latest_name))
+        self._clear(target)
         meta = {k: v for k, v in state.items() if k != 'params'}
         self._ckptr.save(target, {'params': state['params'],
                                   'meta': meta})
+
+    def save_resume(self, save_path: str, payload: dict):
+        target = os.path.abspath(os.path.join(save_path, self.resume_name))
+        self._clear(target)
+        self._ckptr.save(target, payload)
+
+    def load_resume(self, path: str) -> dict:
+        if os.path.isdir(path) and not path.endswith('.orbax'):
+            path = os.path.join(path, self.resume_name)
+        return self._ckptr.restore(os.path.abspath(path))
 
     def promote_best(self, save_path: str):
         src = os.path.abspath(os.path.join(save_path, self.latest_name))

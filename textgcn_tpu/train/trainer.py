@@ -78,6 +78,7 @@ class Trainer:
 
         self._epoch_fn = None
         self._eval_fn = None
+        self._start_epoch = 1  # advanced by resume()
 
         # static test-user batching (reference dataset.py:118-120 caches
         # test batches once at init)
@@ -327,7 +328,7 @@ class Trainer:
         t0 = time.time()
         pending = None  # (epoch, un-fetched device sums)
         stopped = False
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(self._start_epoch, cfg.epochs + 1):
             self.key, ek = jax.random.split(self.key)
             self.params, self.opt_state, sums = self._epoch_fn(
                 self.params, self.opt_state, ek)
@@ -436,10 +437,71 @@ class Trainer:
             'model': self.cfg.model,
         }
         self._checkpointer.save_latest(self.cfg.save_path, state)
+        if getattr(self.cfg, 'resume_state', True):
+            # full trainer state for exact crash-resume (--resume): the
+            # reference only reloads tables (base_model.py:278-289) —
+            # restarting Adam moments/epoch/RNG from scratch perturbs the
+            # trajectory; this payload makes the continuation identical
+            # to an uninterrupted run (tests/test_resume.py)
+            payload = {
+                'epoch': np.int64(epoch),
+                'key_data': np.asarray(jax.random.key_data(self.key)),
+                'opt_leaves': {
+                    str(i): leaf for i, leaf in
+                    enumerate(jax.tree.leaves(self.opt_state))},
+                'metrics': {m: self.metrics_logger[m]
+                            for m in self.metrics_names},
+            }
+            self._checkpointer.save_resume(self.cfg.save_path, payload)
         first = self.metrics_logger[self.metrics_names[0]]
         if len(first) and first[:, 0].max() == first[-1][0] and primary:
             log.info('Updating best model at epoch %d', epoch)
             self._checkpointer.promote_best(self.cfg.save_path)
+
+    def resume(self, run_dir: str):
+        """Exact crash-resume: restore params, optimizer state, RNG key,
+        metrics history, and the epoch counter from a run directory, then
+        continue ``fit`` from the next epoch with a trajectory identical
+        to an uninterrupted run.
+
+        Requires the same model/backend/mesh config as the saving run
+        (optimizer-state shapes must match).  Contrast with ``load``
+        (the reference contract, ``base_model.py:278-289``): tables only,
+        fresh optimizer, metrics reset.
+        """
+        log.info('Resuming from %s', run_dir)
+        ck = self._checkpointer
+        latest = run_dir
+        if os.path.isdir(run_dir):
+            latest = os.path.join(run_dir, ck.latest_name)
+        state = ck.load(latest)
+        loaded = jax.tree.map(jnp.asarray, state['params'])
+        self.params = self._merge_loaded_params(self.params, loaded)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+            self.params = shard_params(self.mesh, self.params)
+
+        rs = ck.load_resume(run_dir)
+        target = self.optimizer.init(self.params)
+        leaves, treedef = jax.tree.flatten(target)
+        new_leaves = []
+        for i, cur in enumerate(leaves):
+            got = jnp.asarray(rs['opt_leaves'][str(i)])
+            if got.shape != cur.shape:
+                raise ValueError(
+                    f'--resume requires the same model/backend/mesh '
+                    f'config as the saving run (optimizer leaf {i}: '
+                    f'saved {got.shape} vs current {cur.shape})')
+            got = got.astype(cur.dtype)
+            if hasattr(cur, 'sharding'):
+                got = jax.device_put(got, cur.sharding)
+            new_leaves.append(got)
+        self.opt_state = jax.tree.unflatten(treedef, new_leaves)
+        self.key = jax.random.wrap_key_data(jnp.asarray(rs['key_data']))
+        self.metrics_logger = {m: np.asarray(rs['metrics'][m])
+                               for m in self.metrics_names}
+        self._start_epoch = int(rs['epoch']) + 1
+        log.info('Resumed at epoch %d', self._start_epoch - 1)
 
     def load(self, load_path: str):
         log.info('Loading model %s', load_path)
