@@ -98,9 +98,16 @@ def main(argv: list[str] | None = None):
             trainer.load(cfg.load_base)
 
     if not cfg.no_train:
-        trainer.fit()
+        if cfg.trace:
+            from .utils.profiling import trace
+            with trace(cfg.trace):
+                trainer.fit()
+        else:
+            trainer.fit()
     if cfg.predict:
         trainer.predict(range(data.n_users), with_scores=True, save=True)
+    if cfg.export_reprs:
+        trainer.export_reprs()
     return trainer
 
 

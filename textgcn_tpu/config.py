@@ -100,6 +100,15 @@ class Config:
                                     # 'compat' (reference's literal formula,
                                     # SURVEY.md Q2)
 
+    # --- serving / ops -------------------------------------------------------
+    export_reprs: bool = False    # after training, write propagated
+                                  # user/item representations (and LTR
+                                  # catalog factors) as .npy for external
+                                  # ANN/serving systems
+    trace: str = ''               # capture a jax.profiler device trace of
+                                  # training into this directory
+                                  # (TensorBoard-readable)
+
     # --- misc --------------------------------------------------------------
     seed: int = 0
     reshuffle: bool = False
@@ -254,6 +263,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help='cap train steps per jitted device call (0 = whole '
                         'epoch in one call); identical math, bounds '
                         'device-call runtime')
+    p.add_argument('--export_reprs', action='store_true',
+                   help='write propagated user/item representations (and '
+                        'LTR catalog factors) as .npy into the run dir '
+                        'for external ANN/serving systems')
+    p.add_argument('--trace', type=str, default=d.trace,
+                   help='capture a jax.profiler device trace of training '
+                        'into this directory')
     p.add_argument('--refresh_every', type=int, default=d.refresh_every,
                    help='cached propagation: refresh the propagated part '
                         'every N steps instead of per step (throughput '
@@ -285,7 +301,8 @@ def parse_args(argv: list[str] | None = None) -> Config:
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
         use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,
         approx_topk=ns.approx_topk, steps_per_call=ns.steps_per_call,
-        refresh_every=ns.refresh_every,
+        refresh_every=ns.refresh_every, export_reprs=ns.export_reprs,
+        trace=ns.trace,
     ).finalize()
     cfg.validate()
     return cfg

@@ -408,6 +408,48 @@ class Trainer:
             return predictions, scores
         return predictions
 
+    def export_reprs(self) -> dict[str, str]:
+        """Write propagated representations as .npy for external serving.
+
+        ``users_repr.npy`` / ``items_repr.npy``: the eval-mode propagated
+        tables (real rows only — phantom padding sliced off), ready for an
+        external ANN index (score = dot product).  LTR heads additionally
+        export the collapsed-head factorization (``ltr_user_factors.npy``,
+        ``ltr_item_factors.npy``, ``ltr_bias.npy``) so an external system
+        reproduces head scores exactly as ``u_cat @ i_cat.T + bias``.
+        Returns {name: path}.  No reference counterpart (its embeddings
+        are only reachable through a full model checkpoint).
+        """
+        model, cfg = self.model, self.cfg
+        from ..parallel.multihost import is_primary
+        cap = model.captured_state()
+
+        def compute(params, cap):
+            with model.bound(cap):
+                reprs = model.representation(params, training=False)
+                out = {'users_repr': reprs[0][:model.n_users],
+                       'items_repr': reprs[1][:model.n_items]}
+                if getattr(model, 'supports_fused_sharded_topk', False):
+                    users = jnp.arange(model.n_users_t, dtype=jnp.int32)
+                    u_cat, i_cat, bias = model.fused_catalog_inputs(
+                        params, reprs, users)
+                    out.update(ltr_user_factors=u_cat[:model.n_users],
+                               ltr_item_factors=i_cat[:model.n_items],
+                               ltr_bias=bias)
+                return out
+
+        arrays = jax.device_get(jax.jit(compute)(self.params, cap))
+        paths = {}
+        if is_primary():
+            os.makedirs(cfg.save_path, exist_ok=True)
+            for name, arr in arrays.items():
+                path = os.path.join(cfg.save_path, f'{name}.npy')
+                np.save(path, np.asarray(arr))
+                paths[name] = path
+            log.info('Exported representations to %s: %s', cfg.save_path,
+                     ', '.join(sorted(arrays)))
+        return paths
+
     # ------------------------------------------------------------------
     # checkpointing (latest/best contract, reference base_model.py:291-299)
 
