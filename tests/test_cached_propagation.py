@@ -155,3 +155,21 @@ def test_mesh_cached_training_runs(tmp_path, dummy_dir):
 def test_single_rejected(tmp_path, dummy_dir):
     with pytest.raises(AssertionError):
         make_cfg(tmp_path, dummy_dir, refresh_every=2, single=True)
+
+
+@pytest.mark.parametrize('model_name', ['adv_sampling', 'text', 'ltr_pop'])
+def test_all_families_inherit_cached_mode(tmp_path, dummy_dir,
+                                          model_name):
+    """Every model family routes training reprs through
+    representation(training=True), so --refresh_every works everywhere
+    (AdvSampl's two propagation passes both use the cache)."""
+    from textgcn_tpu.registry import get_class
+
+    cfg = make_cfg(tmp_path, dummy_dir, model=model_name, epochs=4,
+                   evaluate_every=4, refresh_every=2, uid=model_name)
+    loader, model_cls = get_class(model_name)
+    data = loader(cfg)
+    model = model_cls(cfg, data)
+    tr = Trainer(cfg, model, data)
+    tr.fit()
+    assert np.isfinite(tr.metrics_logger['recall']).all()
