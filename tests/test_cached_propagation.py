@@ -141,8 +141,10 @@ def test_mesh_cached_training_runs(tmp_path, dummy_dir):
     the mesh graph op (shard_map/GSPMD inside a lax.cond branch)."""
     from textgcn_tpu.parallel.mesh import make_mesh, shard_model
 
+    # steps_per_call chunks the scan too: mesh x chunked x cached in one
     cfg = make_cfg(tmp_path, dummy_dir, refresh_every=2, epochs=2,
-                   evaluate_every=2, dropout=0.0, uid='mesh')
+                   evaluate_every=2, dropout=0.0, uid='mesh',
+                   steps_per_call=2)
     mesh = make_mesh((4, 2))
     data = load_interactions(cfg.data).padded_to(mesh.size)
     model = LightGCN(cfg, data)
