@@ -135,5 +135,24 @@ assert len(recalls) == 2 and np.isfinite(recalls).all()
 assert os.path.exists(os.path.join(shared_dir,
                                    'latest_checkpoint.orbax'))
 
+# --- 5. crash-resume restores the full mesh trainer state ------------------
+# (cooperative resume_state.orbax was written by trainer4's checkpoints;
+# restoring re-creates globally-sharded opt-state arrays on every process)
+cfg5, data5, model5 = ge._build(
+    dict(mesh='2x2', epochs=3, evaluate_every=1, save=True,
+         ckpt_backend='orbax', save_path=shared_dir), pad_multiple=4)
+model5 = shard_model(mesh, model5)
+trainer5 = Trainer(cfg5, model5, data5, mesh=mesh)
+trainer5.resume(shared_dir)
+assert trainer5._start_epoch == 3, trainer5._start_epoch
+assert len(trainer5.metrics_logger['recall']) == 2
+for a, b in zip(jax.tree.leaves(trainer5.opt_state),
+                jax.tree.leaves(trainer4.opt_state)):
+    d = jax.jit(lambda x, y: jnp.abs(x - y).max())(a, b)
+    assert float(jax.device_get(d)) == 0.0, 'resumed opt state differs'
+trainer5.fit()  # continue epoch 3 on the resumed global state
+assert len(trainer5.metrics_logger['recall']) == 3
+assert np.isfinite(trainer5.metrics_logger['recall']).all()
+
 print(f'MULTIHOST_OK pid={pid} loss={loss:.8f} '
       f'recall={float(recalls[-1][0]):.6f}', flush=True)

@@ -526,18 +526,30 @@ class Trainer:
         rs = ck.load_resume(run_dir)
         target = self.optimizer.init(self.params)
         leaves, treedef = jax.tree.flatten(target)
+        def place(host, cur):
+            """Re-create a (possibly multi-process) sharded array from the
+            host copy: every process donates its addressable shards
+            (device_put cannot target non-addressable devices).  Leaves
+            the fresh init left single-device (optimizer scalars like the
+            Adam count) stay uncommitted so jit replicates them on use —
+            committing them would pin process-local devices, which is
+            invalid as a multi-process jit input."""
+            sh = getattr(cur, 'sharding', None)
+            if sh is None or isinstance(
+                    sh, jax.sharding.SingleDeviceSharding):
+                return jnp.asarray(host)
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx: np.asarray(host[idx]))
+
         new_leaves = []
         for i, cur in enumerate(leaves):
-            got = jnp.asarray(rs['opt_leaves'][str(i)])
+            got = np.asarray(rs['opt_leaves'][str(i)]).astype(cur.dtype)
             if got.shape != cur.shape:
                 raise ValueError(
                     f'--resume requires the same model/backend/mesh '
                     f'config as the saving run (optimizer leaf {i}: '
                     f'saved {got.shape} vs current {cur.shape})')
-            got = got.astype(cur.dtype)
-            if hasattr(cur, 'sharding'):
-                got = jax.device_put(got, cur.sharding)
-            new_leaves.append(got)
+            new_leaves.append(place(got, cur))
         self.opt_state = jax.tree.unflatten(treedef, new_leaves)
         self.key = jax.random.wrap_key_data(jnp.asarray(rs['key_data']))
         self.metrics_logger = {m: np.asarray(rs['metrics'][m])
