@@ -108,3 +108,9 @@ def test_no_resume_state_skips_file(tmp_path, dummy_dir):
         os.path.join(cfg.save_path, 'latest_checkpoint.pkl'))
     assert not os.path.exists(
         os.path.join(cfg.save_path, 'resume_state.pkl'))
+    # resuming such a run fails with an actionable error
+    cfg2 = make_cfg(tmp_path, dummy_dir, 'nors', epochs=4)
+    model = LightGCN(cfg2, data)
+    tr = Trainer(cfg2, model, data)
+    with pytest.raises(FileNotFoundError, match='no_resume_state'):
+        tr.resume(cfg.save_path)

@@ -254,3 +254,14 @@ def test_marcus_boosted_head(dummy_dir, tmp_path, monkeypatch):
     assert seen['shape'] == (n_train * 3, tr.model.n_features)
     assert seen['y_pos'] == n_train
     assert np.isfinite(tr.inner.metrics_logger['recall']).all()
+
+
+def test_text_model_under_mesh(dummy_dir, tmp_path, monkeypatch):
+    """Text family on the (data x model) mesh end to end: semantic loss
+    + plain sharded-topk eval over sharded tables."""
+    monkeypatch.chdir(tmp_path)
+    tr = run_cli(['--model', 'text', '--data', str(dummy_dir),
+                  '--epochs', '2', '--evaluate_every', '2',
+                  '--batch_size', '16', '--emb_size', '16',
+                  '-k', '3', '--uid', 'text-mesh', '--mesh', '4x2'])
+    assert np.isfinite(tr.metrics_logger['recall']).all()

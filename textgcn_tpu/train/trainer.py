@@ -516,6 +516,12 @@ class Trainer:
         latest = run_dir
         if os.path.isdir(run_dir):
             latest = os.path.join(run_dir, ck.latest_name)
+            if not os.path.exists(os.path.join(run_dir, ck.resume_name)):
+                raise FileNotFoundError(
+                    f'no {ck.resume_name} in {run_dir} — the run was '
+                    f'saved with --no_resume_state (or a different '
+                    f'--ckpt_backend); use --load for a tables-only '
+                    f'warm start')
         state = ck.load(latest)
         loaded = jax.tree.map(jnp.asarray, state['params'])
         self.params = self._merge_loaded_params(self.params, loaded)
