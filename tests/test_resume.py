@@ -71,6 +71,24 @@ def test_resume_matches_uninterrupted(tmp_path, dummy_dir, backend):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_with_cached_propagation(tmp_path, dummy_dir):
+    """--resume x --refresh_every: the rest-cache resets at epoch starts,
+    so resuming at an epoch boundary is exact for cached mode too."""
+    data = load_interactions(str(dummy_dir) + '/')
+    cfg_full = make_cfg(tmp_path, dummy_dir, 'cfull', refresh_every=3)
+    tr_full = _fit(cfg_full, data)
+
+    cfg_a = make_cfg(tmp_path, dummy_dir, 'cpart', epochs=2,
+                     refresh_every=3)
+    _fit(cfg_a, data)
+    cfg_b = make_cfg(tmp_path, dummy_dir, 'cpart', epochs=6,
+                     refresh_every=3)
+    tr_res = _fit(cfg_b, data, resume_from=cfg_a.save_path)
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.params['user_emb']),
+        np.asarray(tr_full.params['user_emb']))
+
+
 def test_resume_via_cli(tmp_path, dummy_dir):
     """--resume end to end through the CLI."""
     from textgcn_tpu.cli import main
