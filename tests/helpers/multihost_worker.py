@@ -154,5 +154,13 @@ trainer5.fit()  # continue epoch 3 on the resumed global state
 assert len(trainer5.metrics_logger['recall']) == 3
 assert np.isfinite(trainer5.metrics_logger['recall']).all()
 
+# --- 6. representation export from globally-sharded params ------------------
+paths = trainer5.export_reprs()
+if pid == 0:
+    u = np.load(paths['users_repr'])
+    assert u.shape[0] == model5.n_users and np.isfinite(u).all()
+else:
+    assert paths == {}, 'non-primary wrote export artifacts'
+
 print(f'MULTIHOST_OK pid={pid} loss={loss:.8f} '
       f'recall={float(recalls[-1][0]):.6f}', flush=True)

@@ -224,3 +224,40 @@ def test_fused_sharded_topk_matches_single(ltr_data, tmp_path, dummy_dir):
     np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_s))
     np.testing.assert_allclose(np.asarray(vals_m), np.asarray(vals_s),
                                atol=1e-5)
+
+
+def test_mesh_base_eval_uses_plain_scoring(ltr_data, tmp_path, dummy_dir):
+    """--load_base evaluates the loaded base with PLAIN GCN scoring
+    before the head takes over (reference ltr_models.py:66-68,175-179);
+    under a mesh this must not fall through to the fused head path
+    (which would score with the untrained random tower)."""
+    import jax.numpy as jnp
+    from textgcn_tpu.parallel.mesh import make_mesh, shard_model
+    from textgcn_tpu.parallel.sharded import sharded_topk
+
+    mesh = make_mesh((4, 2))
+    padded = ltr_data.padded_to(mesh.size)
+    cfg = make_cfg(tmp_path, dummy_dir, uid='baseeval', dropout=0.0)
+    model = LTRLinear(cfg, padded)
+    shard_model(mesh, model)
+    tr = Trainer(cfg, model, padded, mesh=mesh)
+
+    model.score_with_head = False
+    tr._eval_fn = None
+    r_base = tr.evaluate()
+    model.score_with_head = True
+    tr._eval_fn = None
+    r_head = tr.evaluate()
+
+    # plain-scoring oracle: distributed top-k over raw reprs
+    reprs = model.representation(tr.params, training=False)
+    bu = jnp.asarray(tr._test_users_padded.reshape(-1, cfg.batch_size))
+    vals, idx = sharded_topk(mesh, reprs[0][bu[0]], reprs[1],
+                             model.pos_padded[bu[0]], max(cfg.k),
+                             n_valid=model.n_items)
+    from textgcn_tpu.ops import metrics as metrics_mod
+    preds = np.asarray(idx)[:tr._n_test_users]
+    want = metrics_mod.calculate_metrics(preds, padded.true_test, cfg.k)
+    np.testing.assert_allclose(r_base['recall'], want['recall'],
+                               atol=1e-6)
+    del r_head  # head-path eval exercised above; value differs by init

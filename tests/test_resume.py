@@ -132,3 +132,36 @@ def test_no_resume_state_skips_file(tmp_path, dummy_dir):
     tr = Trainer(cfg2, model, data)
     with pytest.raises(FileNotFoundError, match='no_resume_state'):
         tr.resume(cfg.save_path)
+
+
+def test_resume_rejects_file_path(tmp_path, dummy_dir):
+    data = load_interactions(str(dummy_dir) + '/')
+    cfg = make_cfg(tmp_path, dummy_dir, 'fp', epochs=2)
+    _fit(cfg, data)
+    cfg2 = make_cfg(tmp_path, dummy_dir, 'fp', epochs=4)
+    model = LightGCN(cfg2, data)
+    tr = Trainer(cfg2, model, data)
+    import os
+    with pytest.raises(ValueError, match='run directory'):
+        tr.resume(os.path.join(cfg.save_path, 'latest_checkpoint.pkl'))
+
+
+def test_resume_detects_mid_checkpoint_crash(tmp_path, dummy_dir):
+    """latest/resume_state are two sequential writes; a mismatch in their
+    epoch stamps (crash between the writes) must fail loud."""
+    import os
+    import pickle
+    data = load_interactions(str(dummy_dir) + '/')
+    cfg = make_cfg(tmp_path, dummy_dir, 'crash', epochs=2)
+    _fit(cfg, data)
+    rp = os.path.join(cfg.save_path, 'resume_state.pkl')
+    with open(rp, 'rb') as f:
+        payload = pickle.load(f)
+    payload['epoch'] = payload['epoch'] - 1  # stale resume payload
+    with open(rp, 'wb') as f:
+        pickle.dump(payload, f)
+    cfg2 = make_cfg(tmp_path, dummy_dir, 'crash', epochs=4)
+    model = LightGCN(cfg2, data)
+    tr = Trainer(cfg2, model, data)
+    with pytest.raises(ValueError, match='interrupted mid-checkpoint'):
+        tr.resume(cfg.save_path)

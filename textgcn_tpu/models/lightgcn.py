@@ -12,6 +12,7 @@ adversarial sampling) override the same surface.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any
 
 import jax
@@ -151,21 +152,16 @@ class LightGCN:
         return ((params['user_emb'] + rest[0]) * inv,
                 (params['item_emb'] + rest[1]) * inv)
 
+    @contextlib.contextmanager
     def with_cached_rest(self, rest):
         """Context manager binding a stale ``rest`` for the duration of a
         traced loss call (same pattern as ``bound``)."""
-        import contextlib
-
-        @contextlib.contextmanager
-        def _ctx():
-            old = self._cached_rest
-            self._cached_rest = rest
-            try:
-                yield self
-            finally:
-                self._cached_rest = old
-
-        return _ctx()
+        old = self._cached_rest
+        self._cached_rest = rest
+        try:
+            yield self
+        finally:
+            self._cached_rest = old
 
     # --- scoring -----------------------------------------------------------
 

@@ -27,6 +27,7 @@ boundary is crossed once per epoch instead of once per batch.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from functools import partial
@@ -166,7 +167,6 @@ class Trainer:
                         ctx = model.with_cached_rest(rest)
                         extra = (rest, age + 1)
                     else:
-                        import contextlib
                         ctx = contextlib.nullcontext()
                     with ctx:
                         (loss, aux), grads = jax.value_and_grad(
@@ -243,8 +243,17 @@ class Trainer:
 
                 plain = getattr(model, 'supports_plain_sharded_topk',
                                 True)
-                fused = getattr(model, 'supports_fused_sharded_topk',
-                                False)
+                # head-scoring models with a factorable head take the
+                # fused catalog-sharded path — but only while the head is
+                # active: the --load_base base evaluation toggles
+                # score_with_head off to score with the plain dot product
+                # (cli.py rebuilds _eval_fn around the toggle)
+                fused = (getattr(model, 'supports_fused_sharded_topk',
+                                 False)
+                         and getattr(model, 'score_with_head', True))
+                if mesh is not None and not plain and not fused \
+                        and not getattr(model, 'score_with_head', True):
+                    plain = True  # base-eval of a head model: plain dot
 
                 def one_batch(_, bu):
                     if mesh is not None and plain:
@@ -438,7 +447,14 @@ class Trainer:
                                ltr_bias=bias)
                 return out
 
-        arrays = jax.device_get(jax.jit(compute)(self.params, cap))
+        # replicate outputs over the mesh: device_get of a row-sharded
+        # output would touch non-addressable devices on multi-process runs
+        out_sh = None
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+            out_sh = replicated(self.mesh)
+        arrays = jax.device_get(
+            jax.jit(compute, out_shardings=out_sh)(self.params, cap))
         paths = {}
         if is_primary():
             os.makedirs(cfg.save_path, exist_ok=True)
@@ -513,15 +529,17 @@ class Trainer:
         """
         log.info('Resuming from %s', run_dir)
         ck = self._checkpointer
-        latest = run_dir
-        if os.path.isdir(run_dir):
-            latest = os.path.join(run_dir, ck.latest_name)
-            if not os.path.exists(os.path.join(run_dir, ck.resume_name)):
-                raise FileNotFoundError(
-                    f'no {ck.resume_name} in {run_dir} — the run was '
-                    f'saved with --no_resume_state (or a different '
-                    f'--ckpt_backend); use --load for a tables-only '
-                    f'warm start')
+        if not os.path.isdir(run_dir) or run_dir.endswith('.orbax'):
+            raise ValueError(
+                f'--resume takes a run directory (got {run_dir!r}); '
+                f'to warm-start from a single checkpoint file use --load')
+        latest = os.path.join(run_dir, ck.latest_name)
+        if not os.path.exists(os.path.join(run_dir, ck.resume_name)):
+            raise FileNotFoundError(
+                f'no {ck.resume_name} in {run_dir} — the run was '
+                f'saved with --no_resume_state (or a different '
+                f'--ckpt_backend); use --load for a tables-only '
+                f'warm start')
         state = ck.load(latest)
         loaded = jax.tree.map(jnp.asarray, state['params'])
         self.params = self._merge_loaded_params(self.params, loaded)
@@ -530,6 +548,16 @@ class Trainer:
             self.params = shard_params(self.mesh, self.params)
 
         rs = ck.load_resume(run_dir)
+        # latest_checkpoint and resume_state are two sequential writes; a
+        # crash between them leaves params@N paired with opt-state@N-k —
+        # resuming that silently breaks the identical-trajectory contract,
+        # so fail loud on the epoch stamps instead
+        if int(rs['epoch']) != int(state.get('epoch', -1)):
+            raise ValueError(
+                f'resume_state (epoch {int(rs["epoch"])}) does not match '
+                f'{ck.latest_name} (epoch {state.get("epoch")}) — the '
+                f'run was interrupted mid-checkpoint; use --load to '
+                f'warm-start from the params instead')
         target = self.optimizer.init(self.params)
         leaves, treedef = jax.tree.flatten(target)
         def place(host, cur):
