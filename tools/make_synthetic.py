@@ -24,19 +24,49 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
     items_by_cl = [np.where(icl == c)[0] for c in range(k_clusters)]
     all_items = np.arange(n_items)
 
-    rows = []
-    for u in range(n_users):
-        own = items_by_cl[ucl[u]]
-        n_inter = rng.randint(8, 18)
-        n_own = max(int(n_inter * 0.85), 1)
-        chosen = list(rng.choice(own, size=min(n_own, len(own)),
-                                 replace=False))
-        extra = n_inter - len(chosen)
-        if extra > 0:
-            chosen += list(rng.choice(all_items, size=extra, replace=False))
-        for i in set(chosen):
-            rows.append((f'u{u}', f'i{i}'))
-    df = pd.DataFrame(rows, columns=['user_id', 'asin'])
+    if n_users <= 100_000:
+        # original per-user loop (kept so existing datasets regenerate
+        # byte-identically under the same seed)
+        rows = []
+        for u in range(n_users):
+            own = items_by_cl[ucl[u]]
+            n_inter = rng.randint(8, 18)
+            n_own = max(int(n_inter * 0.85), 1)
+            chosen = list(rng.choice(own, size=min(n_own, len(own)),
+                                     replace=False))
+            extra = n_inter - len(chosen)
+            if extra > 0:
+                chosen += list(rng.choice(all_items, size=extra,
+                                          replace=False))
+            for i in set(chosen):
+                rows.append((f'u{u}', f'i{i}'))
+        df = pd.DataFrame(rows, columns=['user_id', 'asin'])
+    else:
+        # vectorized large-scale path: same distribution shape (85%
+        # own-cluster / 15% uniform, 8-17 interactions per user) but
+        # sampled with replacement + pair dedup — a Python loop over
+        # hundreds of thousands of users takes tens of minutes
+        n_inter = rng.randint(8, 18, n_users)
+        n_own = np.maximum((n_inter * 0.85).astype(int), 1)
+        n_ext = n_inter - n_own
+        u_own = np.repeat(np.arange(n_users), n_own)
+        # own-cluster draws, one vectorized randint per cluster
+        i_own = np.empty(len(u_own), np.int64)
+        cl_of_draw = ucl[u_own]
+        for c in range(k_clusters):
+            m = cl_of_draw == c
+            pool = items_by_cl[c]
+            if len(pool):
+                i_own[m] = pool[rng.randint(0, len(pool), int(m.sum()))]
+            else:
+                i_own[m] = rng.randint(0, n_items, int(m.sum()))
+        u_ext = np.repeat(np.arange(n_users), n_ext)
+        i_ext = rng.randint(0, n_items, len(u_ext))
+        pairs = np.unique(np.stack([np.concatenate([u_own, u_ext]),
+                                    np.concatenate([i_own, i_ext])], 1),
+                          axis=0)
+        df = pd.DataFrame({'user_id': [f'u{u}' for u in pairs[:, 0]],
+                           'asin': [f'i{i}' for i in pairs[:, 1]]})
 
     test = df.groupby('user_id').sample(n=2, random_state=rng)
     train = df.drop(test.index)
@@ -60,10 +90,20 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
 
     reviews = train.copy()
     item_ids = reviews.asin.str[1:].astype(int)
-    reviews['review'] = [
-        f'user {u} review of category {icl[i]} product {i} quality '
-        f'{rng.randint(1, 5)}'
-        for u, i in zip(reviews.user_id, item_ids)]
+    if n_users <= 100_000:
+        reviews['review'] = [
+            f'user {u} review of category {icl[i]} product {i} quality '
+            f'{rng.randint(1, 5)}'
+            for u, i in zip(reviews.user_id, item_ids)]
+    else:
+        cat = pd.Series(icl[item_ids.to_numpy()].astype(str),
+                        index=reviews.index)
+        q = pd.Series(rng.randint(1, 5, len(reviews)).astype(str),
+                      index=reviews.index)
+        reviews['review'] = ('user ' + reviews.user_id.str[1:]
+                             + ' review of category ' + cat
+                             + ' product ' + item_ids.astype(str)
+                             + ' quality ' + q)
     reviews['time'] = rng.randint(1.5e9, 1.6e9, len(reviews))
     reviews['rating'] = rng.randint(1, 6, len(reviews))
     reviews.to_csv(os.path.join(out_dir, 'reviews_text.tsv'), sep='\t',
