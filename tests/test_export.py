@@ -86,3 +86,25 @@ def test_cli_export_and_trace(tmp_path, dummy_dir):
     for root, _dirs, files in os.walk(tmp_path / 'trace'):
         found += files
     assert found, 'no profiler trace files written'
+
+
+def test_device_healthcheck():
+    """Healthy backend: probe returns quickly.  Wedged backend (a probe
+    that never completes): raises after fail_after_s instead of hanging
+    forever.  Probe errors surface on the caller's thread."""
+    import time
+
+    import pytest
+
+    from textgcn_tpu.cli import device_healthcheck
+
+    rtt = device_healthcheck(warn_after_s=60, fail_after_s=0)
+    assert rtt < 60
+
+    with pytest.raises(TimeoutError, match='unresponsive'):
+        device_healthcheck(warn_after_s=0.05, fail_after_s=0.2,
+                           _probe=lambda: time.sleep(3600))
+
+    with pytest.raises(RuntimeError, match='boom'):
+        device_healthcheck(
+            _probe=lambda: (_ for _ in ()).throw(RuntimeError('boom')))

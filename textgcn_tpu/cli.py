@@ -35,6 +35,71 @@ def setup_compilation_cache():
             pass
 
 
+def device_healthcheck(warn_after_s: float | None = None,
+                       fail_after_s: float | None = None,
+                       _probe=None) -> float:
+    """Round-trip a scalar through the backend before touching data.
+
+    Remote-attached accelerators (e.g. a TPU behind a relay) can wedge
+    silently — a dead backend otherwise manifests as an indefinite hang
+    with zero feedback on the very first device op.  Runs the probe in a
+    thread: logs an ERROR after ``warn_after_s`` (env
+    ``TEXTGCN_TPU_DEVICE_WARN_S``, default 60) and raises after
+    ``fail_after_s`` (env ``TEXTGCN_TPU_DEVICE_TIMEOUT_S``, default 0 =
+    wait forever).  Returns the probe round-trip in seconds.
+    """
+    import threading
+    import time
+    import logging
+
+    log = logging.getLogger('textgcn_tpu')
+    if warn_after_s is None:
+        warn_after_s = float(os.environ.get('TEXTGCN_TPU_DEVICE_WARN_S',
+                                            '60'))
+    if fail_after_s is None:
+        fail_after_s = float(
+            os.environ.get('TEXTGCN_TPU_DEVICE_TIMEOUT_S', '0'))
+
+    t0 = time.perf_counter()
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def default_probe():
+        import jax.numpy as jnp
+        float(jnp.zeros(()) + 1.0)  # real scalar fetch round trip
+
+    def probe():
+        try:
+            (_probe or default_probe)()
+        except BaseException as e:  # surfaced on the main thread
+            err.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    warned = False
+    tick = 5.0
+    if fail_after_s:
+        tick = min(tick, max(fail_after_s / 4.0, 0.02))
+    while not done.wait(timeout=tick):
+        waited = time.perf_counter() - t0
+        if not warned and waited >= warn_after_s:
+            # NOTE: must not call anything that touches the backend here
+            # (jax.devices()/default_backend() would block too)
+            log.error(
+                'device backend unresponsive after %.0f s — a remote '
+                'accelerator relay may be down; still waiting (set '
+                'TEXTGCN_TPU_DEVICE_TIMEOUT_S to abort instead)', waited)
+            warned = True
+        if fail_after_s and waited >= fail_after_s:
+            raise TimeoutError(
+                f'device backend unresponsive after {waited:.0f} s '
+                f'(TEXTGCN_TPU_DEVICE_TIMEOUT_S={fail_after_s:g})')
+    if err:
+        raise err[0]
+    return time.perf_counter() - t0
+
+
 def main(argv: list[str] | None = None):
     setup_compilation_cache()
     cfg = parse_args(argv)
@@ -49,9 +114,14 @@ def main(argv: list[str] | None = None):
 
     mesh = None
     if cfg.mesh:
-        from .parallel.mesh import make_mesh, shard_model
         from .parallel.multihost import maybe_initialize
-        maybe_initialize()
+        maybe_initialize()  # must precede any backend use
+    # fail loud (not hang silently) when a remote-attached accelerator
+    # backend is wedged — probes BEFORE the expensive data/layout build
+    rtt = device_healthcheck()
+    logger.info('Device backend ready (%.2f s probe)', rtt)
+    if cfg.mesh:
+        from .parallel.mesh import make_mesh, shard_model
         mesh = make_mesh(cfg.mesh_shape)
         logger.info('Mesh: %s', dict(mesh.shape))
 
