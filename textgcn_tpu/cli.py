@@ -91,7 +91,8 @@ def device_healthcheck(warn_after_s: float | None = None,
                 'accelerator relay may be down; still waiting (set '
                 'TEXTGCN_TPU_DEVICE_TIMEOUT_S to abort instead)', waited)
             warned = True
-        if fail_after_s and waited >= fail_after_s:
+        if fail_after_s and waited >= fail_after_s \
+                and not done.is_set():  # probe may land within the tick
             raise TimeoutError(
                 f'device backend unresponsive after {waited:.0f} s '
                 f'(TEXTGCN_TPU_DEVICE_TIMEOUT_S={fail_after_s:g})')

@@ -41,6 +41,8 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
             for i in set(chosen):
                 rows.append((f'u{u}', f'i{i}'))
         df = pd.DataFrame(rows, columns=['user_id', 'asin'])
+        test = df.groupby('user_id').sample(n=2, random_state=rng)
+        train = df.drop(test.index)
     else:
         # vectorized large-scale path: same distribution shape (85%
         # own-cluster / 15% uniform, 8-17 interactions per user) but
@@ -65,11 +67,26 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
         pairs = np.unique(np.stack([np.concatenate([u_own, u_ext]),
                                     np.concatenate([i_own, i_ext])], 1),
                           axis=0)
-        df = pd.DataFrame({'user_id': [f'u{u}' for u in pairs[:, 0]],
-                           'asin': [f'i{i}' for i in pairs[:, 1]]})
+        # held-out split, vectorized: 2 random pairs per user, but only
+        # for users with >= 3 unique pairs (with-replacement + dedup can
+        # leave tiny-catalog users with too few — groupby.sample(n=2)
+        # would crash and a fully-held-out user would vanish from train)
+        perm = rng.permutation(len(pairs))
+        p = pairs[perm][np.argsort(pairs[perm][:, 0], kind='stable')]
+        starts = np.searchsorted(p[:, 0], np.arange(n_users))
+        counts = np.diff(np.append(starts, len(p)))
+        rank = np.arange(len(p)) - starts[p[:, 0]]
+        is_test = (rank < 2) & (counts[p[:, 0]] >= 3)
 
-    test = df.groupby('user_id').sample(n=2, random_state=rng)
-    train = df.drop(test.index)
+        def to_df(arr):
+            # C-level string build — a 6M-element Python f-string loop
+            # defeats the purpose of this path
+            return pd.DataFrame({
+                'user_id': 'u' + pd.Series(arr[:, 0]).astype(str),
+                'asin': 'i' + pd.Series(arr[:, 1]).astype(str)})
+
+        train = to_df(p[~is_test])
+        test = to_df(p[is_test])
     test = test[test.asin.isin(train.asin.unique())
                 & test.user_id.isin(train.user_id.unique())]
 
@@ -100,7 +117,8 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
                         index=reviews.index)
         q = pd.Series(rng.randint(1, 5, len(reviews)).astype(str),
                       index=reviews.index)
-        reviews['review'] = ('user ' + reviews.user_id.str[1:]
+        # same format as the loop path ({u} is the full 'u<N>' id)
+        reviews['review'] = ('user ' + reviews.user_id
                              + ' review of category ' + cat
                              + ' product ' + item_ids.astype(str)
                              + ' quality ' + q)
