@@ -266,3 +266,105 @@ def _propagate_np(dense, ue, ie, data, n_layers=3):
         cache.append(e)
     out = np.stack(cache).mean(0)
     return out[:data.n_users], out[data.n_users:]
+
+
+# ---------------------------------------------------------------------------
+# LTR head parity: one Adam step of the paper's headline model (linear
+# tower over 5 GCN/text cross features, reference ltr_models.py:148-210)
+# vs an independent torch oracle.
+
+def test_ltr_one_step_parity(dummy_dir, rng):
+    from textgcn_tpu.data.core import dense_normalized_adjacency
+    from textgcn_tpu.data.text import load_ltr_data
+    from textgcn_tpu.models.ltr import LTRLinear
+
+    cfg = Config(model='ltr_linear', data=str(dummy_dir), batch_size=8,
+                 emb_size=16, n_layers=2, dropout=0.0, k=(3,), lr=1e-2,
+                 reg_lambda=1e-3, save_path='/tmp/ltr_parity').finalize()
+    data = load_ltr_data(cfg)
+    model = LTRLinear(cfg, data)
+
+    params = model.init_params(jax.random.key(3))
+    users = rng.randint(0, data.n_users, 8).astype(np.int32)
+    pos = np.array([data.pos_padded[u][0] for u in users], np.int32)
+    negs = rng.randint(0, data.n_items, (8, 2)).astype(np.int32)
+
+    # --- torch oracle --------------------------------------------------
+    ue = np.asarray(params['user_emb'])[:data.n_users].copy()
+    ie = np.asarray(params['item_emb'])[:data.n_items].copy()
+    tw = np.asarray(params['tower'][0]['w']).copy()
+    tb = np.asarray(params['tower'][0]['b']).copy()
+    u_rev = np.asarray(data.users_as_avg_reviews, np.float32)
+    u_desc = np.asarray(data.users_as_avg_desc, np.float32)
+    i_rev = np.asarray(data.items_as_avg_reviews, np.float32)
+    i_desc = np.asarray(data.items_as_desc, np.float32)
+
+    user_emb = torch.nn.Parameter(torch.tensor(ue))
+    item_emb = torch.nn.Parameter(torch.tensor(ie))
+    w = torch.nn.Parameter(torch.tensor(tw))
+    b = torch.nn.Parameter(torch.tensor(tb))
+    opt = torch.optim.Adam([user_emb, item_emb, w, b], lr=cfg.lr)
+    adj = torch.tensor(dense_normalized_adjacency(data.graph))
+
+    e = torch.cat([user_emb, item_emb])
+    cache = [e]
+    for _ in range(cfg.n_layers):
+        e = adj @ e
+        cache.append(e)
+    out = torch.stack(cache).mean(0)
+    u_repr, i_repr = out[:data.n_users], out[data.n_users:]
+
+    def head_score(us, its):
+        uu = u_repr[torch.tensor(us)]
+        ii = i_repr[torch.tensor(its)]
+        feats = torch.stack([
+            (uu * ii).sum(-1),
+            (torch.tensor(u_rev[us]) * torch.tensor(i_rev[its])).sum(-1),
+            (torch.tensor(u_desc[us]) * torch.tensor(i_desc[its])).sum(-1),
+            (torch.tensor(u_rev[us]) * torch.tensor(i_desc[its])).sum(-1),
+            (torch.tensor(u_desc[us]) * torch.tensor(i_rev[its])).sum(-1),
+        ], -1)
+        return (feats @ w + b)[..., 0]
+
+    pos_s = head_score(users, pos)
+    loss = 0.0
+    for j in range(negs.shape[1]):
+        loss = loss + F.selu(head_score(users, negs[:, j]) - pos_s).mean()
+    loss = loss / negs.shape[1]
+    reg = cfg.reg_lambda * (
+        user_emb[torch.tensor(users)].pow(2).sum()
+        + item_emb[torch.tensor(pos)].pow(2).sum()
+        + item_emb[torch.tensor(negs)].pow(2).sum()) / len(users) / 2
+    opt.zero_grad()
+    (loss + reg).backward()
+    opt.step()
+    t_loss = float(loss + reg)
+
+    # --- jax step -------------------------------------------------------
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    batch = (jnp.asarray(users), jnp.asarray(pos), jnp.asarray(negs),
+             jnp.ones(8, bool))
+    cap = model.captured_state()
+
+    @jax.jit
+    def step(params, opt_state, cap):
+        with model.bound(cap):
+            (l, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                params, batch, jax.random.key(0))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), l
+
+    new_params, j_loss = step(params, opt_state, cap)
+
+    assert float(j_loss) == pytest.approx(t_loss, rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_params['user_emb'])[:data.n_users],
+        user_emb.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params['item_emb'])[:data.n_items],
+        item_emb.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_params['tower'][0]['w']),
+                               w.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_params['tower'][0]['b']),
+                               b.detach().numpy(), atol=2e-5)
