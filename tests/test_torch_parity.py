@@ -368,3 +368,95 @@ def test_ltr_one_step_parity(dummy_dir, rng):
                                w.detach().numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(new_params['tower'][0]['b']),
                                b.detach().numpy(), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Text-loss (KG) parity: one Adam step of BPR + semantic loss + reg vs an
+# independent torch oracle of the formula tables (the reference's text
+# path is bit-rotted — SURVEY.md Q3 — so this guards OUR spec of
+# text_base_model.py:24-64 with independent math).
+
+def test_text_kg_one_step_parity(dummy_dir, rng):
+    from textgcn_tpu.data.core import dense_normalized_adjacency
+    from textgcn_tpu.data.text import load_ltr_data
+    from textgcn_tpu.models.text_loss import TextModelKG
+
+    cfg = Config(model='kg', data=str(dummy_dir), batch_size=8,
+                 emb_size=16, n_layers=2, dropout=0.0, k=(3,), lr=1e-2,
+                 reg_lambda=1e-3, weight='max(p-n)', distance='|b-g|',
+                 dist_fn='euclid', save_path='/tmp/kg_parity').finalize()
+    data = load_ltr_data(cfg)
+    model = TextModelKG(cfg, data)
+    params = model.init_params(jax.random.key(5))
+
+    users = rng.randint(0, data.n_users, 8).astype(np.int32)
+    pos = np.array([data.pos_padded[u][0] for u in users], np.int32)
+    negs = rng.randint(0, data.n_items, (8, 2)).astype(np.int32)
+
+    # --- torch oracle --------------------------------------------------
+    ue = np.asarray(params['user_emb'])[:data.n_users].copy()
+    ie = np.asarray(params['item_emb'])[:data.n_items].copy()
+    desc = torch.tensor(np.asarray(data.items_as_desc, np.float32))
+    user_emb = torch.nn.Parameter(torch.tensor(ue))
+    item_emb = torch.nn.Parameter(torch.tensor(ie))
+    opt = torch.optim.Adam([user_emb, item_emb], lr=cfg.lr)
+    adj = torch.tensor(dense_normalized_adjacency(data.graph))
+
+    e = torch.cat([user_emb, item_emb])
+    cache = [e]
+    for _ in range(cfg.n_layers):
+        e = adj @ e
+        cache.append(e)
+    out = torch.stack(cache).mean(0)
+    u_repr, i_repr = out[:data.n_users], out[data.n_users:]
+
+    def euclid(x, y):
+        return torch.sqrt(((x - y) ** 2).sum(-1) + 1e-12)
+
+    uu = u_repr[torch.tensor(users)]
+    pos_s = (uu * i_repr[torch.tensor(pos)]).sum(-1)
+    l_bpr = 0.0
+    l_sem = 0.0
+    for j in range(negs.shape[1]):
+        nj = torch.tensor(negs[:, j])
+        neg_s = (uu * i_repr[nj]).sum(-1)
+        l_bpr = l_bpr + F.selu(neg_s - pos_s).mean() / negs.shape[1]
+        b = euclid(desc[torch.tensor(pos)], desc[nj])
+        g = euclid(item_emb[torch.tensor(pos)], item_emb[nj])
+        dist = (b - g).abs()                      # '|b-g|'
+        wgt = F.relu(pos_s - neg_s)               # 'max(p-n)'
+        l_sem = l_sem + (wgt * dist).mean() / negs.shape[1]
+    reg = cfg.reg_lambda * (
+        user_emb[torch.tensor(users)].pow(2).sum()
+        + item_emb[torch.tensor(pos)].pow(2).sum()
+        + item_emb[torch.tensor(negs)].pow(2).sum()) / len(users) / 2
+    total = l_bpr + l_sem + reg
+    opt.zero_grad()
+    total.backward()
+    opt.step()
+
+    # --- jax step -------------------------------------------------------
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    batch = (jnp.asarray(users), jnp.asarray(pos), jnp.asarray(negs),
+             jnp.ones(8, bool))
+    cap = model.captured_state()
+
+    @jax.jit
+    def step(params, opt_state, cap):
+        with model.bound(cap):
+            (l, aux), grads = jax.value_and_grad(
+                model.loss, has_aux=True)(params, batch, jax.random.key(0))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), l, aux
+
+    new_params, j_loss, aux = step(params, opt_state, cap)
+
+    assert float(j_loss) == pytest.approx(float(total), rel=1e-4)
+    assert float(aux['sem']) == pytest.approx(float(l_sem), rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(new_params['user_emb'])[:data.n_users],
+        user_emb.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params['item_emb'])[:data.n_items],
+        item_emb.detach().numpy(), atol=2e-5)
