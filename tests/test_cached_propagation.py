@@ -175,3 +175,63 @@ def test_all_families_inherit_cached_mode(tmp_path, dummy_dir,
     tr = Trainer(cfg, model, data)
     tr.fit()
     assert np.isfinite(tr.metrics_logger['recall']).all()
+
+
+def test_cached_gradient_semantics_vs_torch(tmp_path, dummy_dir, rng):
+    """Cached-mode gradients flow through the layer-0 tables only: one
+    Adam-free gradient of the cached loss must equal a torch oracle where
+    the propagated part is a DETACHED constant added to the ego term."""
+    import torch
+    import torch.nn.functional as F
+
+    from textgcn_tpu.data.core import dense_normalized_adjacency
+
+    cfg, data, model = _model(tmp_path, dummy_dir, dropout=0.0,
+                              n_layers=2, uid='gradsem')
+    params = model.init_params(jax.random.key(4))
+    users = rng.randint(0, data.n_users, 8).astype(np.int32)
+    pos = np.array([data.pos_padded[u][0] for u in users], np.int32)
+    negs = rng.randint(0, data.n_items, (8, 1)).astype(np.int32)
+    batch = (jnp.asarray(users), jnp.asarray(pos), jnp.asarray(negs),
+             jnp.ones(8, bool))
+
+    rest = model.propagate_rest(params)
+
+    def cached_loss(p):
+        with model.with_cached_rest(rest):
+            l, _ = model.loss(p, batch, jax.random.key(0))
+        return l
+
+    grads = jax.grad(cached_loss)(params)
+
+    # torch oracle: repr = (ego + detached_rest) / (L+1)
+    ue = np.asarray(params['user_emb'])[:data.n_users]
+    ie = np.asarray(params['item_emb'])[:data.n_items]
+    user_emb = torch.nn.Parameter(torch.tensor(ue))
+    item_emb = torch.nn.Parameter(torch.tensor(ie))
+    adj = torch.tensor(dense_normalized_adjacency(data.graph))
+    with torch.no_grad():
+        e = torch.cat([user_emb, item_emb])
+        acc = torch.zeros_like(e)
+        for _ in range(cfg.n_layers):
+            e = adj @ e
+            acc = acc + e
+    inv = 1.0 / (cfg.n_layers + 1)
+    full = (torch.cat([user_emb, item_emb]) + acc.detach()) * inv
+    u_repr, i_repr = full[:data.n_users], full[data.n_users:]
+    uu = u_repr[torch.tensor(users)]
+    pos_s = (uu * i_repr[torch.tensor(pos)]).sum(-1)
+    neg_s = (uu * i_repr[torch.tensor(negs[:, 0])]).sum(-1)
+    loss = F.selu(neg_s - pos_s).mean()
+    reg = cfg.reg_lambda * (
+        user_emb[torch.tensor(users)].pow(2).sum()
+        + item_emb[torch.tensor(pos)].pow(2).sum()
+        + item_emb[torch.tensor(negs)].pow(2).sum()) / len(users) / 2
+    (loss + reg).backward()
+
+    np.testing.assert_allclose(
+        np.asarray(grads['user_emb'])[:data.n_users],
+        user_emb.grad.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads['item_emb'])[:data.n_items],
+        item_emb.grad.numpy(), atol=2e-5)
