@@ -108,3 +108,19 @@ def test_device_healthcheck():
     with pytest.raises(RuntimeError, match='boom'):
         device_healthcheck(
             _probe=lambda: (_ for _ in ()).throw(RuntimeError('boom')))
+
+
+def test_parse_args_new_flags():
+    """CLI surface round-trip for the session's new flags."""
+    from textgcn_tpu.config import parse_args
+
+    cfg = parse_args(['--model', 'lgcn', '--refresh_every', '8',
+                      '--resume', 'runs/x/y', '--export_reprs',
+                      '--trace', '/tmp/tr', '--no_resume_state',
+                      '--steps_per_call', '64'])
+    assert cfg.refresh_every == 8
+    assert cfg.resume == 'runs/x/y'
+    assert cfg.export_reprs is True
+    assert cfg.trace == '/tmp/tr'
+    assert cfg.resume_state is False
+    assert cfg.steps_per_call == 64
