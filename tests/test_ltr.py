@@ -261,3 +261,35 @@ def test_mesh_base_eval_uses_plain_scoring(ltr_data, tmp_path, dummy_dir):
     np.testing.assert_allclose(r_base['recall'], want['recall'],
                                atol=1e-6)
     del r_head  # head-path eval exercised above; value differs by init
+
+
+def test_fused_sharded_topk_approx_serving(ltr_data, tmp_path, dummy_dir,
+                                           monkeypatch):
+    """Serving mode on the fused catalog-sharded LTR path: per-shard
+    approx_max_k + exact merge must retrieve (tiny catalog => recall 1)."""
+    import jax.numpy as jnp
+    from textgcn_tpu.parallel.mesh import make_mesh, shard_model
+    from textgcn_tpu.parallel.sharded import sharded_topk
+
+    mesh = make_mesh((4, 2))
+    padded = ltr_data.padded_to(mesh.size)
+    cfg = make_cfg(tmp_path, dummy_dir, uid='fsrv', model='ltr_pop',
+                   dropout=0.0)
+    model = LTRLinearWPop(cfg, padded)
+    shard_model(mesh, model)
+    params = model.init_params(jax.random.key(0))
+    reprs = model.representation(params, training=False)
+    bu = jnp.arange(padded.n_users, dtype=jnp.int32)
+    u_cat, i_cat, bias = model.fused_catalog_inputs(params, reprs, bu)
+
+    vals_e, idx_e = sharded_topk(mesh, u_cat, i_cat,
+                                 model.pos_padded[bu], 5,
+                                 n_valid=model.n_items)
+    vals_a, idx_a = sharded_topk(mesh, u_cat, i_cat,
+                                 model.pos_padded[bu], 5,
+                                 n_valid=model.n_items, approx=0.95)
+    # tiny per-shard catalogs: approx falls back to a full reduction, so
+    # ids must match exactly; values within bf16 tolerance
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_e))
+    np.testing.assert_allclose(np.asarray(vals_a), np.asarray(vals_e),
+                               atol=0.05, rtol=0.02)
