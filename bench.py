@@ -100,17 +100,24 @@ def bench_jax(steps=30, warmup=5, refresh=0):
     # op is a jit ARGUMENT (pytree), not a closed-over constant.
     @jax.jit
     def run(params, opt_state, key, graph_op):
-        rest0 = (jnp.zeros_like(params['user_emb']),
-                 jnp.zeros_like(params['item_emb']))
+        # extra carry only in cached mode, mirroring the trainer — the
+        # exact-mode program stays identical to the recorded baselines
+        extra0 = ()
+        if refresh:
+            extra0 = ((jnp.zeros_like(params['user_emb']),
+                       jnp.zeros_like(params['item_emb'])),
+                      jnp.int32(0))
 
         def step(carry, key):
-            params, opt_state, rest, age = carry
+            params, opt_state, extra = carry
             k_b, k_d = jax.random.split(key)
             ku, kp, kn = jax.random.split(k_b, 3)
             users = jax.random.randint(ku, (BATCH,), 0, N_USERS)
             pos = jax.random.randint(kp, (BATCH,), 0, N_ITEMS)
             negs = jax.random.randint(kn, (BATCH, 1), 0, N_ITEMS)
+            rest = None
             if refresh:
+                rest, age = extra
                 k_r, k_d = jax.random.split(k_d)
                 rest = jax.lax.cond(
                     jax.lax.rem(age, refresh) == 0,
@@ -118,16 +125,17 @@ def bench_jax(steps=30, warmup=5, refresh=0):
                         p, graph_op, LAYERS, dropout=DROPOUT,
                         dropout_key=k_r),
                     lambda p: rest, params)
+                extra = (rest, age + 1)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, rest, graph_op, users, pos, negs, k_d)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, rest, age + 1), loss
+            return (params, opt_state, extra), loss
 
         keys = jax.random.split(key, steps)
-        (params, opt_state, *_), losses = jax.lax.scan(
-            step, (params, opt_state, rest0, jnp.int32(0)), keys)
+        (params, opt_state, _), losses = jax.lax.scan(
+            step, (params, opt_state, extra0), keys)
         return params, opt_state, losses
 
     params, opt_state, losses = run(params, opt_state, jax.random.key(1),

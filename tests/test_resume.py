@@ -165,3 +165,17 @@ def test_resume_detects_mid_checkpoint_crash(tmp_path, dummy_dir):
     tr = Trainer(cfg2, model, data)
     with pytest.raises(ValueError, match='interrupted mid-checkpoint'):
         tr.resume(cfg.save_path)
+
+
+def test_resume_rejects_changed_hyperparameters(tmp_path, dummy_dir):
+    """Resuming with a different lr (or any trajectory-relevant field)
+    must fail loud — it would silently break the identical-continuation
+    contract."""
+    data = load_interactions(str(dummy_dir) + '/')
+    cfg = make_cfg(tmp_path, dummy_dir, 'hp', epochs=2)
+    _fit(cfg, data)
+    cfg2 = make_cfg(tmp_path, dummy_dir, 'hp', epochs=4, lr=5e-3)
+    model = LightGCN(cfg2, data)
+    tr = Trainer(cfg2, model, data)
+    with pytest.raises(ValueError, match='lr'):
+        tr.resume(cfg.save_path)

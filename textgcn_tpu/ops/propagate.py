@@ -127,19 +127,20 @@ def representation(params, graph_op, n_layers: int, *, single: bool,
     reference ``base_model.py:99``).  Layer combination as in
     ``propagate``.
     """
-    key = dropout_key if dropout > 0.0 else None
-    w_to_user, w_to_item = graph_op.weights(key, dropout)
-    u, i = params['user_emb'], params['item_emb']
     if single:
+        key = dropout_key if dropout > 0.0 else None
+        w_to_user, w_to_item = graph_op.weights(key, dropout)
+        u, i = params['user_emb'], params['item_emb']
         for _ in range(n_layers):
             u, i = (graph_op.to_user(i, w_to_user),
                     graph_op.to_item(u, w_to_item))
         return u, i
-    acc_u, acc_i = u, i
-    for _ in range(n_layers):
-        u, i = (graph_op.to_user(i, w_to_user),
-                graph_op.to_item(u, w_to_item))
-        acc_u = acc_u + u
-        acc_i = acc_i + i
+    # expressed as ego + propagate_rest so the cached-propagation identity
+    # cached_reprs(params, propagate_rest(params)) == representation holds
+    # by construction (no duplicated hop loop to drift apart)
+    rest_u, rest_i = propagate_rest(params, graph_op, n_layers,
+                                    dropout=dropout,
+                                    dropout_key=dropout_key)
     inv = 1.0 / (n_layers + 1)
-    return acc_u * inv, acc_i * inv
+    return ((params['user_emb'] + rest_u) * inv,
+            (params['item_emb'] + rest_i) * inv)

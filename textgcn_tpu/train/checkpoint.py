@@ -34,12 +34,21 @@ class PickleCheckpointer:
     resume_name = 'resume_state.pkl'
     cooperative = False
 
+    @staticmethod
+    def _atomic_dump(obj, path: str):
+        """Write-to-temp + rename so a crash mid-dump never destroys the
+        previous checkpoint — losing resumability to a crash is the exact
+        failure mode these files exist to survive."""
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump(obj, f)
+        os.replace(tmp, path)
+
     def save_latest(self, save_path: str, state: dict):
         os.makedirs(save_path, exist_ok=True)
         state = dict(state,
                      params=jax.tree.map(np.asarray, state['params']))
-        with open(os.path.join(save_path, self.latest_name), 'wb') as f:
-            pickle.dump(state, f)
+        self._atomic_dump(state, os.path.join(save_path, self.latest_name))
 
     def promote_best(self, save_path: str):
         shutil.copyfile(os.path.join(save_path, self.latest_name),
@@ -55,8 +64,8 @@ class PickleCheckpointer:
         """Trainer-side resume payload (flat opt-state leaves, RNG key
         data, epoch, metrics history) — see ``Trainer.resume``."""
         payload = jax.tree.map(np.asarray, payload)
-        with open(os.path.join(save_path, self.resume_name), 'wb') as f:
-            pickle.dump(payload, f)
+        self._atomic_dump(payload,
+                          os.path.join(save_path, self.resume_name))
 
     def load_resume(self, path: str) -> dict:
         if os.path.isdir(path):
@@ -84,9 +93,9 @@ class OrbaxCheckpointer:
 
     @staticmethod
     def _clear(target: str):
-        # clearing the previous checkpoint is a filesystem mutation on a
-        # shared path: primary-only, with a barrier so no process starts
-        # the cooperative save into a directory mid-deletion
+        # clearing is a filesystem mutation on a shared path: primary-only,
+        # with a barrier so no process starts a cooperative save into a
+        # directory mid-deletion
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             if jax.process_index() == 0 and os.path.exists(target):
@@ -95,19 +104,38 @@ class OrbaxCheckpointer:
         elif os.path.exists(target):
             shutil.rmtree(target)
 
+    def _atomic_save(self, target: str, tree):
+        """Cooperative save into a .tmp directory, then swap into place —
+        the long shard-writing window never has the previous checkpoint
+        deleted, so a crash mid-save keeps the old state restorable."""
+        tmp = target + '.tmp'
+        self._clear(tmp)
+        self._ckptr.save(tmp, tree)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            # all shards written before the primary swaps
+            multihost_utils.sync_global_devices('textgcn_ckpt_written')
+            if jax.process_index() == 0:
+                if os.path.exists(target):
+                    shutil.rmtree(target)
+                os.rename(tmp, target)
+            multihost_utils.sync_global_devices('textgcn_ckpt_swapped')
+        else:
+            if os.path.exists(target):
+                shutil.rmtree(target)
+            os.rename(tmp, target)
+
     def save_latest(self, save_path: str, state: dict):
         os.makedirs(save_path, exist_ok=True)
         target = os.path.abspath(
             os.path.join(save_path, self.latest_name))
-        self._clear(target)
         meta = {k: v for k, v in state.items() if k != 'params'}
-        self._ckptr.save(target, {'params': state['params'],
-                                  'meta': meta})
+        self._atomic_save(target, {'params': state['params'],
+                                   'meta': meta})
 
     def save_resume(self, save_path: str, payload: dict):
         target = os.path.abspath(os.path.join(save_path, self.resume_name))
-        self._clear(target)
-        self._ckptr.save(target, payload)
+        self._atomic_save(target, payload)
 
     def load_resume(self, path: str) -> dict:
         if os.path.isdir(path) and not path.endswith('.orbax'):

@@ -46,6 +46,15 @@ import logging
 log = logging.getLogger('textgcn_tpu')
 
 
+# config fields that change the training trajectory: a resume with any of
+# these differing would silently break the identical-continuation
+# contract, so they are stamped into the resume payload and checked
+RESUME_CONFIG_FIELDS = (
+    'model', 'emb_size', 'batch_size', 'neg_samples', 'lr', 'reg_lambda',
+    'dropout', 'n_layers', 'single', 'refresh_every', 'seed',
+    'evaluate_every')
+
+
 class Trainer:
 
     def __init__(self, cfg: Config, model, data: InteractionData,
@@ -248,11 +257,10 @@ class Trainer:
                 # active: the --load_base base evaluation toggles
                 # score_with_head off to score with the plain dot product
                 # (cli.py rebuilds _eval_fn around the toggle)
+                head_on = getattr(model, 'score_with_head', True)
                 fused = (getattr(model, 'supports_fused_sharded_topk',
-                                 False)
-                         and getattr(model, 'score_with_head', True))
-                if mesh is not None and not plain and not fused \
-                        and not getattr(model, 'score_with_head', True):
+                                 False) and head_on)
+                if mesh is not None and not plain and not head_on:
                     plain = True  # base-eval of a head model: plain dot
 
                 def one_batch(_, bu):
@@ -509,6 +517,8 @@ class Trainer:
                     enumerate(jax.tree.leaves(self.opt_state))},
                 'metrics': {m: self.metrics_logger[m]
                             for m in self.metrics_names},
+                'config': {f: getattr(self.cfg, f)
+                           for f in RESUME_CONFIG_FIELDS},
             }
             self._checkpointer.save_resume(self.cfg.save_path, payload)
         first = self.metrics_logger[self.metrics_names[0]]
@@ -558,6 +568,19 @@ class Trainer:
                 f'{ck.latest_name} (epoch {state.get("epoch")}) — the '
                 f'run was interrupted mid-checkpoint; use --load to '
                 f'warm-start from the params instead')
+        saved_cfg = rs.get('config')
+        if saved_cfg is not None:
+            diffs = {
+                f: (v, getattr(self.cfg, f, None))
+                for f, v in saved_cfg.items()
+                if getattr(self.cfg, f, None) != v}
+            if diffs:
+                detail = ', '.join(f'{f}: saved={s!r} vs {c!r}'
+                                   for f, (s, c) in sorted(diffs.items()))
+                raise ValueError(
+                    f'--resume requires the saving run\'s '
+                    f'trajectory-relevant config; differing: {detail}. '
+                    f'Use --load to warm-start with new hyperparameters.')
         target = self.optimizer.init(self.params)
         leaves, treedef = jax.tree.flatten(target)
         def place(host, cur):
