@@ -21,9 +21,15 @@ Capability match for the reference's text stack:
   (count / max count); ``popularity_mode='compat'`` reproduces the
   reference's literal values for parity experiments.
 
-Encoding backends: ``sentence-transformers`` when a model is available
-locally, else a deterministic hash-seeded stub encoder (``stub``) so tests
-and offline runs need no network.  Select via ``TEXTGCN_TPU_TEXT_ENCODER``.
+Encoding backends (select via ``TEXTGCN_TPU_TEXT_ENCODER``):
+
+* ``flax`` — TPU-native: HF Flax transformer forward + masked mean pooling
+  + L2 normalize jitted on the accelerator (``encoder_flax.py``) — the
+  ``all-MiniLM-L6-v2`` SentenceTransformer recipe without torch.
+* ``st`` — ``sentence-transformers`` on the host (the reference's path).
+* ``stub`` — deterministic hash-seeded unit vectors for tests / zero-egress
+  environments.
+* ``auto`` (default) — st, then flax, then stub, first that works.
 """
 
 from __future__ import annotations
@@ -69,6 +75,12 @@ def _st_encode(sentences: list[str], bert_model: str,
     return np.asarray(model.encode(sentences, batch_size=batch_size))
 
 
+def _flax_encode(sentences: list[str], bert_model: str,
+                 batch_size: int) -> np.ndarray:
+    from .encoder_flax import flax_encode
+    return flax_encode(sentences, bert_model, batch_size)
+
+
 def encode_sentences(sentences: list[str], bert_model: str,
                      batch_size: int) -> np.ndarray:
     backend = os.environ.get('TEXTGCN_TPU_TEXT_ENCODER', 'auto')
@@ -76,13 +88,18 @@ def encode_sentences(sentences: list[str], bert_model: str,
         return _stub_encode(sentences)
     if backend == 'st':
         return _st_encode(sentences, bert_model, batch_size)
-    try:
-        return _st_encode(sentences, bert_model, batch_size)
-    except Exception as e:  # model not downloadable offline, etc.
-        log.warning('sentence-transformers encode failed (%s: %s); '
-                    'falling back to deterministic stub encoder',
-                    type(e).__name__, e)
-        return _stub_encode(sentences)
+    if backend == 'flax':
+        return _flax_encode(sentences, bert_model, batch_size)
+    for name, fn in (('sentence-transformers', _st_encode),
+                     ('flax', _flax_encode)):
+        try:
+            return fn(sentences, bert_model, batch_size)
+        except Exception as e:  # model not downloadable offline, etc.
+            log.warning('%s encode failed (%s: %s); trying next backend',
+                        name, type(e).__name__, e)
+    log.warning('no encoder backend available for %r; using the '
+                'deterministic stub encoder', bert_model)
+    return _stub_encode(sentences)
 
 
 # ---------------------------------------------------------------------------
