@@ -179,3 +179,50 @@ def test_resume_rejects_changed_hyperparameters(tmp_path, dummy_dir):
     tr = Trainer(cfg2, model, data)
     with pytest.raises(ValueError, match='lr'):
         tr.resume(cfg.save_path)
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path, dummy_dir):
+    """SIGTERM mid-run: fit stops at the epoch boundary with latest +
+    resume state written, the previous handler is restored, and a
+    --resume continuation reproduces the uninterrupted trajectory."""
+    import signal
+
+    data = load_interactions(str(dummy_dir) + '/')
+
+    cfg_full = make_cfg(tmp_path, dummy_dir, 'sig-full')
+    tr_full = _fit(cfg_full, data)
+
+    cfg_a = make_cfg(tmp_path, dummy_dir, 'sig-part')
+    model = LightGCN(cfg_a, data)
+    tr = Trainer(cfg_a, model, data)
+    orig_make = tr._make_epoch_fn
+    prev_handler = signal.getsignal(signal.SIGTERM)
+
+    def make(n):
+        f = orig_make(n)
+        count = [0]
+
+        def wrapped(params, opt_state, key):
+            out = f(params, opt_state, key)
+            count[0] += 1
+            if count[0] == 3:  # not an evaluate_every boundary
+                signal.raise_signal(signal.SIGTERM)
+            return out
+
+        return wrapped
+
+    tr._make_epoch_fn = make
+    tr.fit()  # must return (not die) after epoch 3
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+
+    ck = tr._checkpointer
+    state = ck.load(str(tmp_path / 'sig-part' / ck.latest_name))
+    assert state['epoch'] == 3
+    rs = ck.load_resume(str(tmp_path / 'sig-part'))
+    assert int(rs['epoch']) == 3
+
+    cfg_b = make_cfg(tmp_path, dummy_dir, 'sig-part')
+    tr_res = _fit(cfg_b, data, resume_from=cfg_a.save_path)
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.params['user_emb']),
+        np.asarray(tr_full.params['user_emb']))

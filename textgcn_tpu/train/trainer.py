@@ -330,6 +330,30 @@ class Trainer:
         return ' '.join(f'{c} = {sums[c]:.4f}'
                         for c in self.loss_components)
 
+    def _install_preemption_handler(self):
+        """SIGTERM -> graceful stop: finish the in-flight epoch, write
+        latest + resume state, and return from ``fit`` cleanly.
+
+        TPU pools deliver SIGTERM ahead of preemption; without this the
+        process dies losing up to ``evaluate_every`` epochs of work.  The
+        stop lands on an epoch boundary so the saved state resumes
+        bitwise-identically (``--resume``).  Returns a restore callback
+        (no-op outside the main thread, where signals can't be bound).
+        """
+        import signal
+
+        def handler(signum, frame):
+            self._stop_requested = True
+            log.warning('Received %s — checkpointing and stopping at the '
+                        'next epoch boundary (resume with --resume)',
+                        signal.Signals(signum).name)
+
+        try:
+            prev = signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # not the main thread
+            return lambda: None
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
     def fit(self):
         """Train for cfg.epochs with periodic eval/checkpoint/early-stop
         (reference ``base_model.py:108-139``)."""
@@ -345,6 +369,18 @@ class Trainer:
         t0 = time.time()
         pending = None  # (epoch, un-fetched device sums)
         stopped = False
+        self._stop_requested = False
+        restore_handler = self._install_preemption_handler()
+        try:
+            stopped = self._fit_loop(cfg, epoch_examples, t0, pending)
+        finally:
+            restore_handler()
+        if not stopped:
+            self.checkpoint(cfg.epochs)
+
+    def _fit_loop(self, cfg, epoch_examples, t0, pending) -> bool:
+        """Epoch loop body of ``fit``; returns True if it stopped early
+        (early-stop or preemption) — those paths already checkpointed."""
         for epoch in range(self._start_epoch, cfg.epochs + 1):
             self.key, ek = jax.random.split(self.key)
             self.params, self.opt_state, sums = self._epoch_fn(
@@ -354,6 +390,12 @@ class Trainer:
             if pending is not None:
                 self._finish_epoch(*pending)
             pending = (epoch, sums)
+            if self._stop_requested:
+                self._finish_epoch(*pending)
+                self.checkpoint(epoch)
+                log.warning('Stopped by SIGTERM at epoch %d; state saved '
+                            'to %s', epoch, cfg.save_path)
+                return True
             if epoch % cfg.evaluate_every:
                 continue
             sums = self._finish_epoch(*pending)
@@ -366,12 +408,10 @@ class Trainer:
             self.checkpoint(epoch)
             if metrics_mod.early_stop(self.metrics_logger):
                 log.warning('Early stopping triggerred at epoch %d', epoch)
-                stopped = True
-                break
+                return True
         if pending is not None:
             self._finish_epoch(*pending)
-        if not stopped:
-            self.checkpoint(cfg.epochs)
+        return False
 
     def evaluate(self, epoch: int | None = None) -> dict[str, list[float]]:
         on_eval = getattr(self.model, 'on_evaluate', None)
