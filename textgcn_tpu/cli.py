@@ -103,6 +103,12 @@ def device_healthcheck(warn_after_s: float | None = None,
 
 def main(argv: list[str] | None = None):
     setup_compilation_cache()
+    # explicit backend override (e.g. TEXTGCN_TPU_PLATFORM=cpu for a local
+    # smoke run).  Applied via jax.config because some hosts install a
+    # sitecustomize that overrides the JAX_PLATFORMS environment variable.
+    platform = os.environ.get('TEXTGCN_TPU_PLATFORM')
+    if platform:
+        jax.config.update('jax_platforms', platform)
     cfg = parse_args(argv)
     if cfg.approx_topk:
         # serving opt-in: all retrieval sinks (catalog_top_k, sharded_topk)

@@ -117,7 +117,8 @@ class Config:
     slurm: bool = False
 
     # --- TPU-native additions (no reference counterpart, SURVEY.md §2.3) ----
-    mesh: str = ''                # e.g. "2x4" -> (data=2, model=4); '' = auto 1-chip
+    mesh: str = ''                # "2x4" -> (data=2, model=4); 'auto' =
+                                  # all devices, auto shape; '' = 1-chip
     data_axis: str = 'data'
     model_axis: str = 'model'
     param_dtype: str = 'float32'
@@ -183,8 +184,12 @@ class Config:
 
     @property
     def mesh_shape(self) -> tuple[int, int]:
-        """Parse ``--mesh AxB`` into (data, model) sizes; (0, 0) = auto."""
-        if not self.mesh:
+        """Parse ``--mesh AxB`` into (data, model) sizes; (0, 0) = auto.
+
+        ``--mesh auto`` enables the mesh path with an auto-derived shape
+        over all visible devices (largest power-of-two divisor <= sqrt(n)
+        on the model axis, see ``parallel.mesh._auto_shape``)."""
+        if not self.mesh or self.mesh.lower() == 'auto':
             return (0, 0)
         a, b = self.mesh.lower().split('x')
         return (int(a), int(b))
@@ -251,7 +256,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--logging_level', default=d.logging_level,
                    choices=['debug', 'info', 'warn', 'error'])
     p.add_argument('--slurm', action='store_true')
-    p.add_argument('--mesh', type=str, default=d.mesh)
+    p.add_argument('--mesh', type=str, default=d.mesh,
+                   help="device mesh as 'DATAxMODEL' (e.g. 2x4) or 'auto' "
+                        "for all visible devices with an auto-derived shape")
     p.add_argument('--no_pallas', action='store_true')
     p.add_argument('--ckpt_backend', default=d.ckpt_backend,
                    choices=['pickle', 'orbax'])

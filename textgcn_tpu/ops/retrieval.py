@@ -15,8 +15,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+# numpy scalar on purpose: a jnp constant here would initialize the JAX
+# backend at import time, before callers can pick a platform
+NEG_INF = np.float32(-np.inf)
 
 # two-stage blocked top-k: per-block top-k then top-k over the G*k
 # candidates — EXACT for k <= block size.  Measured on v5e it LOSES to
