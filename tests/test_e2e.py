@@ -251,3 +251,30 @@ def test_cli_approx_topk_flag(tmp_path, dummy_dir, monkeypatch):
                     '--approx_topk', '0.95', '--uid', 'cli-approx'])
     assert os.environ.get('TEXTGCN_TPU_APPROX_TOPK') == '0.95'
     assert np.isfinite(trainer.metrics_logger['recall']).all()
+
+
+def test_final_checkpoint_does_not_clobber_best(tmp_path, dummy_dir):
+    """A checkpoint taken between evals (end-of-fit on a non-eval epoch)
+    must not promote unevaluated params over the checkpoint the best
+    metric was actually measured on."""
+    from textgcn_tpu.train.checkpoint import make_checkpointer
+
+    cfg = make_cfg(tmp_path, dummy_dir, epochs=7, evaluate_every=5,
+                   uid='bestguard', save=True,
+                   save_path=str(tmp_path / 'bestguard'))
+    data = load_interactions(cfg.data)
+    model = LightGCN(cfg, data)
+    tr = Trainer(cfg, model, data)
+    tr.fit()
+
+    ck = make_checkpointer('pickle')
+    latest = ck.load(os.path.join(cfg.save_path, ck.latest_name))
+    best = ck.load(os.path.join(cfg.save_path, ck.best_name))
+    # latest is epoch-7 params (2 epochs past the last eval)
+    assert latest['epoch'] == 7
+    # best stayed at the last *evaluated* epoch's params
+    assert best['epoch'] == 5
+    final = np.asarray(tr.params['user_emb'])
+    assert not np.allclose(np.asarray(best['params']['user_emb']), final)
+    np.testing.assert_array_equal(
+        np.asarray(latest['params']['user_emb']), final)

@@ -265,3 +265,29 @@ def test_text_model_under_mesh(dummy_dir, tmp_path, monkeypatch):
                   '--batch_size', '16', '--emb_size', '16',
                   '-k', '3', '--uid', 'text-mesh', '--mesh', '4x2'])
     assert np.isfinite(tr.metrics_logger['recall']).all()
+
+
+def test_embed_text_cache_invalidates_on_changed_rows(tmp_path,
+                                                      monkeypatch):
+    """A cache written for one text row set must not be served for a
+    different one (e.g. --reshuffle filtering different review rows):
+    the fingerprint sidecar triggers a re-encode instead of silently
+    misaligning rows."""
+    import pandas as pd
+
+    from textgcn_tpu.data.text import embed_text
+
+    monkeypatch.setenv('TEXTGCN_TPU_TEXT_ENCODER', 'stub')
+    cache = str(tmp_path / 'review_repr_model_0-seed')
+    first = embed_text(pd.Series(['aa', 'bb', 'cc']), cache, 'any', 8)
+    # same rows -> served from cache (bitwise)
+    again = embed_text(pd.Series(['aa', 'bb', 'cc']), cache, 'any', 8)
+    np.testing.assert_array_equal(first, again)
+    # same length, different content -> re-encoded, not the stale matrix
+    other = embed_text(pd.Series(['aa', 'bb', 'dd']), cache, 'any', 8)
+    assert not np.array_equal(first, other)
+    assert not np.array_equal(first[2], other[2])
+    # different length -> re-encoded with the right shape
+    longer = embed_text(pd.Series(['aa', 'bb', 'cc', 'dd']), cache,
+                        'any', 8)
+    assert longer.shape[0] == 4

@@ -146,3 +146,44 @@ def dummy_model(dummy_dir, tmp_path):
     model = LTRGradientBoosted(cfg, data)
     params = model.init_params(jax.random.key(0))
     return model, params
+
+
+def test_xgboost_style_fit_continues_booster(dummy_model):
+    """Trees exposing get_booster (xgboost API, no warm_start param) must
+    receive the previous booster via xgb_model on every batch after the
+    first — otherwise each fit() discards prior batches and the final
+    ensemble reflects only the last one."""
+    model, params = dummy_model
+
+    class FakeRanker:
+        """Duck-typed XGBRanker: records fit calls."""
+
+        def __init__(self):
+            self.fits = []
+            self._fitted = False
+
+        def get_params(self):
+            return {'n_estimators': 75}  # no 'warm_start', like xgboost
+
+        def set_params(self, **kw):
+            raise AssertionError('set_params must not be used here')
+
+        def get_booster(self):
+            assert self._fitted
+            return ('booster', len(self.fits))
+
+        def fit(self, x, y, group=None, xgb_model=None):
+            self.fits.append({'rows': len(y), 'group': group,
+                              'xgb_model': xgb_model})
+            self._fitted = True
+
+    model.tree = FakeRanker()
+    model.fit_trees(params, model.pos_padded, model.pos_degree,
+                    batch_size=4)
+    fits = model.tree.fits
+    assert len(fits) > 1  # 12 dummy users / batch 4
+    assert fits[0]['xgb_model'] is None
+    for i, f in enumerate(fits[1:], 1):
+        assert f['xgb_model'] == ('booster', i), \
+            'batch %d did not continue from the previous booster' % i
+        assert f['group'] is not None

@@ -175,6 +175,8 @@ class Config:
             '--load/--load_base'
         assert 0.0 <= self.dropout < 1.0
         assert self.epochs >= 1 and self.batch_size >= 1
+        assert self.evaluate_every >= 1, \
+            'evaluate_every must be a positive epoch interval'
         assert 0.0 <= self.approx_topk < 1.0, \
             'approx_topk is a recall target in [0, 1); 0 disables'
         assert self.refresh_every >= 0

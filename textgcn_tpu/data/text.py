@@ -105,6 +105,17 @@ def encode_sentences(sentences: list[str], bert_model: str,
 # ---------------------------------------------------------------------------
 # cached embed_text (reference utils.py:93-118 contract)
 
+def _texts_fingerprint(texts: list[str]) -> str:
+    """Content hash of the exact row sequence an embedding cache covers."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(str(len(texts)).encode())
+    for t in texts:
+        h.update(t.encode('utf-8', 'ignore'))
+        h.update(b'\x00')
+    return h.hexdigest()
+
+
 def embed_text(sentences: pd.Series, cache_path: str, bert_model: str,
                batch_size: int) -> np.ndarray:
     """Embed a text series with dedup + length-sorted batching + disk cache.
@@ -113,18 +124,42 @@ def embed_text(sentences: pd.Series, cache_path: str, bert_model: str,
     ``.npy`` cache, or a reference-produced ``.torch`` file at the same
     stem for drop-in compatibility with existing caches.
     """
+    texts = sentences.astype(str).tolist()
+    fp = _texts_fingerprint(texts)
     npy_path = cache_path if cache_path.endswith('.npy') \
         else cache_path + '.npy'
+    meta_path = npy_path + '.meta'
     if os.path.exists(npy_path):
-        return np.load(npy_path)
-    torch_path = cache_path if cache_path.endswith('.torch') \
-        else cache_path.rsplit('.npy', 1)[0] + '.torch'
-    if os.path.exists(torch_path):
-        import torch
-        return torch.load(torch_path, map_location='cpu',
-                          weights_only=False).cpu().numpy()
+        cached = np.load(npy_path)
+        # the cache file name (model+seed) does not capture the row set;
+        # a changed input (e.g. --reshuffle filtering different review
+        # rows) would silently misalign row i with the wrong text.  Our
+        # own caches carry a content fingerprint; reference-produced
+        # caches have none, so they get the row-count check only.
+        stale = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stale = f.read().strip() != fp
+        elif len(cached) != len(texts):
+            stale = True
+        if not stale:
+            return cached
+        log.warning('embedding cache %s does not match the current text '
+                    'rows (%d cached vs %d); re-encoding', npy_path,
+                    len(cached), len(texts))
+    else:
+        torch_path = cache_path if cache_path.endswith('.torch') \
+            else cache_path.rsplit('.npy', 1)[0] + '.torch'
+        if os.path.exists(torch_path):
+            import torch
+            cached = torch.load(torch_path, map_location='cpu',
+                                weights_only=False).cpu().numpy()
+            if len(cached) == len(texts):
+                return cached
+            log.warning('reference embedding cache %s has %d rows but the '
+                        'current text has %d; re-encoding', torch_path,
+                        len(cached), len(texts))
 
-    texts = sentences.astype(str).tolist()
     unique = sorted(set(texts), key=lambda x: len(x.split(' ')),
                     reverse=True)
     embs = encode_sentences(unique, bert_model, batch_size)
@@ -132,6 +167,8 @@ def embed_text(sentences: pd.Series, cache_path: str, bert_model: str,
     result = np.stack([mapping[t] for t in texts]).astype(np.float32)
     os.makedirs(os.path.dirname(npy_path), exist_ok=True)
     np.save(npy_path, result)
+    with open(meta_path, 'w') as f:
+        f.write(fp)
     return result
 
 

@@ -144,10 +144,18 @@ class LTRGradientBoosted(LTRLinear):
                 self.tree.set_params(
                     n_estimators=self.tree.get_params()['n_estimators']
                     + self.tree_params['n_estimators'])
+            kw = {}
+            if warm and hasattr(self.tree, 'get_booster'):
+                # xgboost has no warm_start param; continuation across
+                # batches goes through xgb_model (reference warm-starts
+                # per batch, ltr_gradient_boosted.py:60-64) — without it
+                # every fit() discards the previous booster and the
+                # final ensemble reflects only the last user batch
+                kw['xgb_model'] = self.tree.get_booster()
             try:
-                self.tree.fit(x, y, group=[n_items] * len(users))
+                self.tree.fit(x, y, group=[n_items] * len(users), **kw)
             except TypeError:
-                self.tree.fit(x, y)
+                self.tree.fit(x, y, **kw)
             warm = True
         self._tree_fitted = True
         self._forest = None
@@ -317,6 +325,9 @@ class BoostedTrainer:
             preds.append(np.asarray(idx))
         results = metrics_mod.calculate_metrics(
             np.concatenate(preds), self.data.true_test, self.inner.k)
+        # the row describes inner.params + the fitted tree as they are
+        # now: stamp the eval epoch so inner.checkpoint may promote best
+        self.inner._last_eval_epoch = 1 if epoch is None else epoch
         for m in self.inner.metrics_names:
             self.inner.metrics_logger[m] = np.append(
                 self.inner.metrics_logger[m], [results[m]], axis=0)

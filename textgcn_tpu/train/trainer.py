@@ -89,6 +89,11 @@ class Trainer:
         self._epoch_fn = None
         self._eval_fn = None
         self._start_epoch = 1  # advanced by resume()
+        # epoch whose metrics row describes self.params as they are NOW;
+        # best-promotion is gated on it so checkpoints taken between
+        # evals (end-of-fit, SIGTERM) can never overwrite best.pkl with
+        # params the best metric was not measured on
+        self._last_eval_epoch = None
 
         # static test-user batching (reference dataset.py:118-120 caches
         # test batches once at init)
@@ -375,7 +380,9 @@ class Trainer:
             stopped = self._fit_loop(cfg, epoch_examples, t0, pending)
         finally:
             restore_handler()
-        if not stopped:
+        if not stopped and cfg.epochs % cfg.evaluate_every:
+            # final epoch was not an eval epoch: save latest (the eval-
+            # epoch path checkpointed already otherwise)
             self.checkpoint(cfg.epochs)
 
     def _fit_loop(self, cfg, epoch_examples, t0, pending) -> bool:
@@ -393,8 +400,12 @@ class Trainer:
             if self._stop_requested:
                 self._finish_epoch(*pending)
                 self.checkpoint(epoch)
-                log.warning('Stopped by SIGTERM at epoch %d; state saved '
-                            'to %s', epoch, cfg.save_path)
+                if cfg.save:
+                    log.warning('Stopped by SIGTERM at epoch %d; state '
+                                'saved to %s', epoch, cfg.save_path)
+                else:
+                    log.warning('Stopped by SIGTERM at epoch %d; nothing '
+                                'saved (--no_save)', epoch)
                 return True
             if epoch % cfg.evaluate_every:
                 continue
@@ -414,6 +425,7 @@ class Trainer:
         return False
 
     def evaluate(self, epoch: int | None = None) -> dict[str, list[float]]:
+        self._last_eval_epoch = epoch
         on_eval = getattr(self.model, 'on_evaluate', None)
         if on_eval is not None:
             on_eval(self.params)
@@ -562,7 +574,12 @@ class Trainer:
             }
             self._checkpointer.save_resume(self.cfg.save_path, payload)
         first = self.metrics_logger[self.metrics_names[0]]
-        if len(first) and first[:, 0].max() == first[-1][0] and primary:
+        # promote only when the last metrics row was measured on exactly
+        # these params (checkpoint right after evaluate at this epoch) —
+        # a checkpoint between evals would otherwise copy unevaluated
+        # params over the checkpoint that actually hit the best metric
+        if len(first) and first[:, 0].max() == first[-1][0] and primary \
+                and epoch == self._last_eval_epoch:
             log.info('Updating best model at epoch %d', epoch)
             self._checkpointer.promote_best(self.cfg.save_path)
 
