@@ -84,21 +84,36 @@ class LightGCN:
         self.reg_lambda = cfg.reg_lambda
         g = data.graph
         self._edges = (g.edge_user, g.edge_item, g.edge_weight)
-        if self.backend == 'xla':
-            from ..ops.spmm import BipartiteGraphOp
-            self.graph_op = BipartiteGraphOp(
-                g.edge_user, g.edge_item, g.edge_weight,
-                self.n_users_t, self.n_items_t)
-        else:
-            from ..ops.pallas_spmm import PallasGraphOp
-            self.graph_op = PallasGraphOp(
-                g.edge_user, g.edge_item, g.edge_weight,
-                self.n_users_t, self.n_items_t, cfg.emb_size,
-                interpret=self.backend == 'pallas_interpret')
+        # built lazily on first use: mesh runs replace it with a
+        # mesh-partitioned op (parallel/mesh.shard_model) before any
+        # access, so the single-chip tile layout (an expensive host
+        # sort/pack pass + device transfer at large edge counts) is never
+        # built just to be discarded
+        self._graph_op = None
         self.pos_padded = jnp.asarray(data.pos_padded)
         self.pos_degree = jnp.asarray(data.pos_degree)
         self.bucket_len = data.bucket_len
         self.iterable_len = data.iterable_len
+
+    @property
+    def graph_op(self):
+        if self._graph_op is None:
+            eu, ei, w = self._edges
+            if self.backend == 'xla':
+                from ..ops.spmm import BipartiteGraphOp
+                self._graph_op = BipartiteGraphOp(
+                    eu, ei, w, self.n_users_t, self.n_items_t)
+            else:
+                from ..ops.pallas_spmm import PallasGraphOp
+                self._graph_op = PallasGraphOp(
+                    eu, ei, w, self.n_users_t, self.n_items_t,
+                    self.cfg.emb_size,
+                    interpret=self.backend == 'pallas_interpret')
+        return self._graph_op
+
+    @graph_op.setter
+    def graph_op(self, op):
+        self._graph_op = op
 
     # --- parameters --------------------------------------------------------
 

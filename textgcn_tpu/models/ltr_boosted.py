@@ -50,6 +50,10 @@ class LTRGradientBoosted(LTRLinear):
         # catalog-sharded eval path does not apply to this head
         self.supports_fused_sharded_topk = False
 
+    def on_evaluate(self, params):
+        """The linear tower is untrained for tree heads — suppress its
+        feature-weight logging; importances are logged after fit_trees."""
+
     def _make_tree(self, cfg):
         if 'xgboost' in cfg.model:
             try:
@@ -266,74 +270,42 @@ class BoostedTrainer:
         with open(os.path.join(self.cfg.save_path, 'tree.pkl'), 'wb') as f:
             pickle.dump(self.model.tree, f)
 
+    def _install_tree_eval(self):
+        """Route the inner Trainer's retrieval through the fitted trees.
+
+        The inner ``predict``/``evaluate`` keep owning batching/padding,
+        score rounding, external-id export, metrics logging and the
+        best-promotion stamp — only the per-batch scorer differs, so the
+        plumbing exists exactly once (in Trainer)."""
+        from ..ops.retrieval import topk_from_scores
+
+        model, inner = self.model, self.inner
+        max_k = max(inner.k)
+
+        def eval_fn(params, mat):
+            reprs = model.compute_reprs(params)
+            scorer = model.make_tree_scorer(params, reprs)
+            vals, idx = [], []
+            for row in mat:
+                s = scorer(row)
+                v, i = topk_from_scores(s, model.pos_padded[row],
+                                        k=max_k, n_items=model.n_items)
+                vals.append(v)
+                idx.append(i)
+            return jnp.concatenate(vals), jnp.concatenate(idx)
+
+        inner._eval_fn = eval_fn
+
     def predict(self, users, save: bool = False, with_scores: bool = False):
         """Ranked items through the tree scorer (the inner Trainer's
-        predict would use the untrained linear tower)."""
-        from ..ops.retrieval import topk_from_scores
-
-        model = self.model
-        params = self.inner.params
-        reprs = model.compute_reprs(params)
-        users = np.asarray(list(users), dtype=np.int32)
-        max_k = max(self.inner.k)
-        preds, scores = [], []
-        bs = self.cfg.batch_size
-        scorer = model.make_tree_scorer(params, reprs)
-        for start in range(0, len(users), bs):
-            bu = jnp.asarray(users[start:start + bs])
-            s = scorer(bu)
-            vals, idx = topk_from_scores(s, model.pos_padded[bu],
-                                         k=max_k, n_items=model.n_items)
-            preds.append(np.asarray(idx))
-            scores.append(np.round(np.asarray(vals), 4))
-        preds = np.concatenate(preds).tolist()
-        scores = np.concatenate(scores).tolist()
-        from ..parallel.multihost import is_primary
-        if save and is_primary():
-            import os
-            import pandas as pd
-            out = os.path.join(self.cfg.save_path, 'predictions.tsv')
-            pd.DataFrame({
-                'user_id': [self.data.user_id_map[u] for u in
-                            users.tolist()],
-                'y_pred': [[self.data.item_id_map[i] for i in row]
-                           for row in preds],
-                'scores': scores,
-            }).to_csv(out, sep='\t', index=False)
-            log.info('Predictions are saved in `%s`', out)
-        if with_scores:
-            return preds, scores
-        return preds
+        default eval fn would use the untrained linear tower)."""
+        self._install_tree_eval()
+        return self.inner.predict(users, save=save,
+                                  with_scores=with_scores)
 
     def evaluate(self, epoch: int | None = None):
-        from ..ops import metrics as metrics_mod
-        from ..ops.retrieval import topk_from_scores
-
-        model = self.model
-        params = self.inner.params
-        reprs = model.compute_reprs(params)
-        max_k = max(self.inner.k)
-        preds = []
-        bs = self.cfg.batch_size
-        tu = self.data.test_users
-        scorer = model.make_tree_scorer(params, reprs)
-        for start in range(0, len(tu), bs):
-            bu = jnp.asarray(tu[start:start + bs])
-            scores = scorer(bu)
-            _, idx = topk_from_scores(scores, model.pos_padded[bu],
-                                      k=max_k, n_items=model.n_items)
-            preds.append(np.asarray(idx))
-        results = metrics_mod.calculate_metrics(
-            np.concatenate(preds), self.data.true_test, self.inner.k)
-        # the row describes inner.params + the fitted tree as they are
-        # now: stamp the eval epoch so inner.checkpoint may promote best
-        self.inner._last_eval_epoch = 1 if epoch is None else epoch
-        for m in self.inner.metrics_names:
-            self.inner.metrics_logger[m] = np.append(
-                self.inner.metrics_logger[m], [results[m]], axis=0)
-            log.info('%-11s' % m + ' '.join(f'{v:.4f}'
-                                            for v in results[m]))
-        return results
+        self._install_tree_eval()
+        return self.inner.evaluate(1 if epoch is None else epoch)
 
 
 class MarcusGradientBoosted(LTRGradientBoosted):

@@ -37,19 +37,31 @@ def make_sharded_train_step(mesh, model, optimizer):
     (params, opt_state, loss)``.  Params/opt-state shardings are inferred
     from the committed inputs (see ``mesh.shard_params``); batch leaves are
     constrained onto `data` on their leading dim inside the step.
+
+    The model's device arrays (graph op, positive tables) pass through
+    jit as ARGUMENTS via ``captured_state``/``bound`` — closed-over
+    global arrays would be illegal on multi-controller runs (see
+    ops/spmm.py) and bloat single-host executables.
     """
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
 
-    def step(params, opt_state, batch, key):
+    def step(params, opt_state, batch, key, captured):
         batch = tuple(
             jax.lax.with_sharding_constraint(b, batch_sh) for b in batch)
-        (loss, aux), grads = jax.value_and_grad(
-            model.loss, has_aux=True)(params, batch, key)
+        with model.bound(captured):
+            (loss, aux), grads = jax.value_and_grad(
+                model.loss, has_aux=True)(params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, batch, key):
+        return jitted(params, opt_state, batch, key,
+                      model.captured_state())
+
+    return run
 
 
 def make_sharded_epoch_fn(mesh, model, optimizer, batch_size: int,
@@ -59,27 +71,34 @@ def make_sharded_epoch_fn(mesh, model, optimizer, batch_size: int,
     b_sh = batch_sharding(mesh)
     repl = replicated(mesh)
 
-    def epoch(params, opt_state, key):
-        k_sample, k_drop = jax.random.split(key)
-        batches = model.sample_batches(k_sample, batch_size)
-        batches = tuple(
-            jax.lax.with_sharding_constraint(b, b_sh) for b in batches)
-        drop_keys = jax.random.split(k_drop, n_batches)
+    def epoch(params, opt_state, key, captured):
+        with model.bound(captured):
+            k_sample, k_drop = jax.random.split(key)
+            batches = model.sample_batches(k_sample, batch_size)
+            batches = tuple(
+                jax.lax.with_sharding_constraint(b, b_sh) for b in batches)
+            drop_keys = jax.random.split(k_drop, n_batches)
 
-        def step(carry, xs):
-            params, opt_state = carry
-            *batch, dk = xs
-            (loss, aux), grads = jax.value_and_grad(
-                model.loss, has_aux=True)(params, tuple(batch), dk)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            def step(carry, xs):
+                params, opt_state = carry
+                *batch, dk = xs
+                (loss, aux), grads = jax.value_and_grad(
+                    model.loss, has_aux=True)(params, tuple(batch), dk)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (*batches, drop_keys))
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (*batches, drop_keys))
         return params, opt_state, losses.sum()
 
-    return jax.jit(epoch, donate_argnums=(0, 1))
+    jitted = jax.jit(epoch, donate_argnums=(0, 1))
+
+    def run(params, opt_state, key):
+        return jitted(params, opt_state, key, model.captured_state())
+
+    return run
 
 
 def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
