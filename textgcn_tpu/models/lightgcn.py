@@ -98,17 +98,23 @@ class LightGCN:
     @property
     def graph_op(self):
         if self._graph_op is None:
-            eu, ei, w = self._edges
-            if self.backend == 'xla':
-                from ..ops.spmm import BipartiteGraphOp
-                self._graph_op = BipartiteGraphOp(
-                    eu, ei, w, self.n_users_t, self.n_items_t)
-            else:
-                from ..ops.pallas_spmm import PallasGraphOp
-                self._graph_op = PallasGraphOp(
-                    eu, ei, w, self.n_users_t, self.n_items_t,
-                    self.cfg.emb_size,
-                    interpret=self.backend == 'pallas_interpret')
+            # the first access may happen inside a jit trace (e.g.
+            # jit(lambda p: model.representation(p))): force concrete
+            # (compile-time) evaluation so the cached op holds real
+            # arrays, not tracers that would leak out of the trace
+            import jax as _jax
+            with _jax.ensure_compile_time_eval():
+                eu, ei, w = self._edges
+                if self.backend == 'xla':
+                    from ..ops.spmm import BipartiteGraphOp
+                    self._graph_op = BipartiteGraphOp(
+                        eu, ei, w, self.n_users_t, self.n_items_t)
+                else:
+                    from ..ops.pallas_spmm import PallasGraphOp
+                    self._graph_op = PallasGraphOp(
+                        eu, ei, w, self.n_users_t, self.n_items_t,
+                        self.cfg.emb_size,
+                        interpret=self.backend == 'pallas_interpret')
         return self._graph_op
 
     @graph_op.setter
