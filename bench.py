@@ -32,24 +32,16 @@ DROPOUT = 0.4
 
 
 def synth_edges(seed=0):
-    rng = np.random.RandomState(seed)
-    n_edges = N_USERS * AVG_DEG
-    eu = rng.randint(0, N_USERS, n_edges).astype(np.int32)
-    ei = rng.randint(0, N_ITEMS, n_edges).astype(np.int32)
-    pairs = np.unique(np.stack([eu, ei], 1), axis=0)
-    eu, ei = pairs[:, 0], pairs[:, 1]
-    du = np.bincount(eu, minlength=N_USERS)
-    di = np.bincount(ei, minlength=N_ITEMS)
-    with np.errstate(divide='ignore'):
-        w = 1.0 / np.sqrt(du[eu].astype(np.float64) * di[ei])
-    w[~np.isfinite(w)] = 0
-    return eu, ei, w.astype(np.float32)
+    # single source of truth for the synthetic graph: the scale sweep's
+    # generator, at this bench's fixed S1 shape
+    from tools.scale_bench import synth_edges as _synth
+    return _synth(N_USERS, N_ITEMS, AVG_DEG, seed)
 
 
 # ---------------------------------------------------------------------------
 # JAX path (ours)
 
-def bench_jax(steps=30, warmup=5, refresh=0):
+def bench_jax(steps=30, refresh=0):
     """``refresh`` > 0 benchmarks cached-propagation mode
     (--refresh_every): the propagated part refreshes every ``refresh``
     steps inside the scan, fresh ego term in between (the Trainer's
@@ -138,14 +130,24 @@ def bench_jax(steps=30, warmup=5, refresh=0):
             step, (params, opt_state, extra0), keys)
         return params, opt_state, losses
 
-    params, opt_state, losses = run(params, opt_state, jax.random.key(1),
-                                    graph_op)
-    losses.block_until_ready()  # warmup + compile
-    t0 = time.perf_counter()
-    params, opt_state, losses = run(params, opt_state, jax.random.key(2),
-                                    graph_op)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+    # chain-difference timing with a scalar fetch per chain:
+    # block_until_ready does not reliably sync through a remote relay
+    # (CLAUDE.md), and the difference of a 3-call and a 1-call chain
+    # cancels the constant fetch RTT out of the measurement
+    def chain(n, seed):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        losses = None
+        for i in range(n):
+            params, opt_state, losses = run(
+                params, opt_state, jax.random.key(seed + i), graph_op)
+        float(losses[-1])  # full device sync
+        return time.perf_counter() - t0
+
+    chain(1, 1)  # warmup + compile
+    t1 = chain(1, 2)
+    t3 = chain(3, 3)
+    dt = (t3 - t1) / 2
     return BATCH * steps / dt, dt / steps
 
 
@@ -377,51 +379,11 @@ def bench_ltr_eval(n_eval_users=8192):
 def bench_eval_jax(n_eval_users=8192, approx=None):
     """Full-catalog eval throughput: masked scoring + top-k, users/s.
 
-    ``approx``: recall target for the serving mode (approx_max_k);
-    None = exact (the eval default)."""
-    import jax
-    import jax.numpy as jnp
-
-    from textgcn_tpu.ops.retrieval import score_and_topk
-
-    rng = np.random.RandomState(0)
-    users_emb = jnp.asarray(rng.randn(n_eval_users, EMB)
-                            .astype(np.float32))
-    items_emb = jnp.asarray(rng.randn(N_ITEMS, EMB).astype(np.float32))
-    max_deg = 32
-    pos = jnp.asarray(rng.randint(0, N_ITEMS,
-                                  (n_eval_users, max_deg)).astype(np.int32))
-
-    def run_n(n):
-        @jax.jit
-        def f(users_emb, items_emb, pos):
-            acc = jnp.float32(0)
-            for i in range(n):
-                u = users_emb.reshape(-1, BATCH, EMB)
-                def one(_, xs):
-                    bu, bp = xs
-                    vals, idx = score_and_topk(bu, items_emb, bp, k=40,
-                                               n_items=N_ITEMS,
-                                               approx=approx)
-                    return None, vals.sum()
-                _, s = jax.lax.scan(
-                    one, None, (u, pos.reshape(-1, BATCH, max_deg)))
-                acc = acc + s.sum()
-                users_emb = users_emb + acc * 1e-20
-            return acc
-        return f
-
-    import time as _t
-    f1, f4 = run_n(1), run_n(5)
-    float(f1(users_emb, items_emb, pos))
-    float(f4(users_emb, items_emb, pos))
-    def t(f, reps=3):
-        t0 = _t.perf_counter()
-        for _ in range(reps):
-            float(f(users_emb, items_emb, pos))
-        return (_t.perf_counter() - t0) / reps
-    per_pass = (t(f4) - t(f1)) / 4
-    return n_eval_users / per_pass
+    Delegates to the scale sweep's chain-difference harness (one
+    implementation for both entry points).  ``approx``: recall target for
+    the serving mode (approx_max_k); None = exact (the eval default)."""
+    from tools.scale_bench import time_eval
+    return time_eval(N_ITEMS, n_eval_users=n_eval_users, approx=approx)
 
 
 def bench_eval_torch(n_eval_users=2048):

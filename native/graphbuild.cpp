@@ -46,6 +46,11 @@ static ParsedInteractions* as_parsed(void* h) {
 // (user, item) as strings; ids are remapped in first-appearance order of
 // the sorted rows, matching the reference's
 // sort_values(['user_id','asin']) + unique() remap.
+//
+// Strictly line-oriented: blank lines are skipped; a line without a tab,
+// with more than one tab (extra column) or with an empty field makes the
+// whole parse return nullptr — the caller falls back to pandas, which
+// raises its own error — instead of silently dropping or fusing rows.
 void* tsv_parse_interactions(const char* buf, int64_t len) {
   std::vector<std::pair<std::string_view, std::string_view>> rows;
   const char* p = buf;
@@ -54,12 +59,19 @@ void* tsv_parse_interactions(const char* buf, int64_t len) {
   while (p < end && *p != '\n') p++;
   if (p < end) p++;
   while (p < end) {
-    const char* tab = static_cast<const char*>(memchr(p, '\t', end - p));
-    if (!tab) break;
-    const char* nl = static_cast<const char*>(memchr(tab, '\n', end - tab));
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     if (!nl) nl = end;
     const char* vend = nl;
-    if (vend > tab + 1 && vend[-1] == '\r') vend--;
+    if (vend > p && vend[-1] == '\r') vend--;
+    if (vend == p) {  // blank line
+      p = nl + 1;
+      continue;
+    }
+    const char* tab = static_cast<const char*>(memchr(p, '\t', vend - p));
+    if (!tab || tab == p || tab + 1 == vend ||
+        memchr(tab + 1, '\t', vend - tab - 1)) {
+      return nullptr;  // malformed row: no/extra column or empty field
+    }
     rows.emplace_back(std::string_view(p, tab - p),
                       std::string_view(tab + 1, vend - tab - 1));
     p = nl + 1;

@@ -146,30 +146,67 @@ def load_interactions(data_dir: str, *, reshuffle: bool = False,
     if reshuffle:
         folder = reshuffle_train_test(data_dir, seed)
 
-    train_df = _read_interactions(os.path.join(folder, 'train.tsv'))
-    test_df = _read_interactions(os.path.join(folder, 'test.tsv'))
+    # the train file dominates load time at scale; the native C++ parser
+    # (sort + first-appearance remap in one pass over the mmap'd bytes)
+    # replaces pandas read_table + sort_values + map when available,
+    # with identical output (tests/test_native.py, test_data.py).  A
+    # malformed file makes it return None -> pandas raises its own error.
+    parsed = None
+    from .. import native
+    if native.available():
+        parsed = native.parse_interactions_tsv(
+            os.path.join(folder, 'train.tsv'))
+    if parsed is not None:
+        eu_parsed, ei_parsed, user_ext, item_ext = parsed
+        train_df = pd.DataFrame({
+            'user_id': eu_parsed.astype(np.int64),
+            'asin': ei_parsed.astype(np.int64)})
+        user_mapping = pd.DataFrame(
+            enumerate(user_ext), columns=['remap_id', 'org_id'])
+        item_mapping = pd.DataFrame(
+            enumerate(item_ext), columns=['remap_id', 'org_id'])
+        test_df = _read_interactions(os.path.join(folder, 'test.tsv'))
+        test_only_users = set(test_df.user_id) - set(user_ext)
+        assert not test_only_users, \
+            f"users {test_only_users} from test set don't appear in " \
+            'train set'
+        test_only_items = set(test_df.asin) - set(item_ext)
+        if test_only_items:
+            log.warning("items %s from test set don't appear in train "
+                        'set, removing them', test_only_items)
+            test_df = test_df[~test_df.asin.isin(test_only_items)]
+        u_map = dict(zip(user_mapping.org_id, user_mapping.remap_id))
+        i_map = dict(zip(item_mapping.org_id, item_mapping.remap_id))
+        test_df = test_df.assign(user_id=test_df.user_id.map(u_map),
+                                 asin=test_df.asin.map(i_map))
+    else:
+        train_df = _read_interactions(os.path.join(folder, 'train.tsv'))
+        test_df = _read_interactions(os.path.join(folder, 'test.tsv'))
 
-    test_only_users = set(test_df.user_id) - set(train_df.user_id)
-    assert not test_only_users, \
-        f"users {test_only_users} from test set don't appear in train set"
-    test_only_items = set(test_df.asin) - set(train_df.asin)
-    if test_only_items:
-        log.warning("items %s from test set don't appear in train set, "
-                    'removing them', test_only_items)
-        test_df = test_df[~test_df.asin.isin(test_only_items)]
+        test_only_users = set(test_df.user_id) - set(train_df.user_id)
+        assert not test_only_users, \
+            f"users {test_only_users} from test set don't appear in " \
+            'train set'
+        test_only_items = set(test_df.asin) - set(train_df.asin)
+        if test_only_items:
+            log.warning("items %s from test set don't appear in train "
+                        'set, removing them', test_only_items)
+            test_df = test_df[~test_df.asin.isin(test_only_items)]
 
-    # dense internal ids, ordered by first appearance in the sorted train
-    # table (reference dataset.py:89-98)
-    user_mapping = pd.DataFrame(
-        enumerate(train_df.user_id.unique()), columns=['remap_id', 'org_id'])
-    item_mapping = pd.DataFrame(
-        enumerate(train_df.asin.unique()), columns=['remap_id', 'org_id'])
-    u_map = dict(zip(user_mapping.org_id, user_mapping.remap_id))
-    i_map = dict(zip(item_mapping.org_id, item_mapping.remap_id))
-    train_df = train_df.assign(user_id=train_df.user_id.map(u_map),
-                               asin=train_df.asin.map(i_map))
-    test_df = test_df.assign(user_id=test_df.user_id.map(u_map),
-                             asin=test_df.asin.map(i_map))
+        # dense internal ids, ordered by first appearance in the sorted
+        # train table (reference dataset.py:89-98)
+        user_mapping = pd.DataFrame(
+            enumerate(train_df.user_id.unique()),
+            columns=['remap_id', 'org_id'])
+        item_mapping = pd.DataFrame(
+            enumerate(train_df.asin.unique()),
+            columns=['remap_id', 'org_id'])
+        u_map = dict(zip(user_mapping.org_id, user_mapping.remap_id))
+        i_map = dict(zip(item_mapping.org_id, item_mapping.remap_id))
+        train_df = train_df.assign(user_id=train_df.user_id.map(u_map),
+                                   asin=train_df.asin.map(i_map))
+        test_df = test_df.assign(user_id=test_df.user_id.map(u_map),
+                                 asin=test_df.asin.map(i_map))
 
     n_users = int(train_df.user_id.nunique())
     n_items = int(train_df.asin.nunique())

@@ -105,11 +105,16 @@ def _f32p(a):
 
 def parse_interactions_tsv(path: str):
     """Returns (edge_user, edge_item, user_ids, item_ids) with dense ids
-    assigned in (string-sorted rows, first appearance) order."""
+    assigned in (string-sorted rows, first appearance) order, or ``None``
+    when the file is malformed (missing/extra column or empty field on
+    any row) — callers fall back to pandas, which raises a descriptive
+    error of its own."""
     assert ensure_built()
     with open(path, 'rb') as f:
         buf = f.read()
     h = _LIB.tsv_parse_interactions(buf, len(buf))
+    if not h:
+        return None
     try:
         n = _LIB.parsed_n_rows(h)
         eu = np.empty(n, np.int32)

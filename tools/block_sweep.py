@@ -12,12 +12,13 @@ Usage: python tools/block_sweep.py [CHUNK]
 processes — the jit cache does not key on the module constant.)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, '.')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHUNK_OVERRIDE = int(sys.argv[1]) if len(sys.argv) > 1 else None
 

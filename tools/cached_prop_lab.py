@@ -62,8 +62,13 @@ def build_cached_step(graph_op, n_users_t, n_items_t, n_users, n_items,
     def make_run(n_steps):
         @jax.jit
         def run(params, opt_state, key, graph_op):
-            rest0 = (jnp.zeros_like(params['user_emb']),
-                     jnp.zeros_like(params['item_emb']))
+            # extra carry only in cached mode (like bench.py/trainer):
+            # the refresh=0 baseline program must be the exact step, not
+            # an exact step dragging a dead (rest, age) carry
+            rest0 = None
+            if refresh:
+                rest0 = (jnp.zeros_like(params['user_emb']),
+                         jnp.zeros_like(params['item_emb']))
 
             def step(carry, key):
                 params, opt_state, rest, age = carry
@@ -131,14 +136,14 @@ def main():
     setup_compilation_cache()
     import jax
 
-    from textgcn_tpu.ops.pallas_spmm import SRC_BLOCK, PallasGraphOp
+    from textgcn_tpu.ops.pallas_spmm import PallasGraphOp
 
     records = []
     for name in args.sizes.split(','):
         n_users, n_items, avg_deg = SIZES[name]
         eu, ei, w = synth_edges(n_users, n_items, avg_deg)
-        nu_t = -(-n_users // SRC_BLOCK) * SRC_BLOCK
-        ni_t = -(-n_items // SRC_BLOCK) * SRC_BLOCK
+        nu_t = -(-n_users // 4096) * 4096  # model's table rounding
+        ni_t = -(-n_items // 4096) * 4096
         graph_op = PallasGraphOp(eu, ei, w, nu_t, ni_t, EMB)
         for refresh in [int(x) for x in args.refresh.split(',')]:
             params, opt_state, make_run = build_cached_step(

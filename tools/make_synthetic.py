@@ -36,11 +36,18 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
                                      replace=False))
             extra = n_inter - len(chosen)
             if extra > 0:
-                chosen += list(rng.choice(all_items, size=extra,
+                # clamp for tiny catalogs: choice(n_items, size>n_items,
+                # replace=False) raises; unchanged for healthy sizes so
+                # existing datasets still regenerate byte-identically
+                chosen += list(rng.choice(all_items,
+                                          size=min(extra, n_items),
                                           replace=False))
             for i in set(chosen):
                 rows.append((f'u{u}', f'i{i}'))
         df = pd.DataFrame(rows, columns=['user_id', 'asin'])
+        # users need >= 3 unique interactions to give 2 to test and keep
+        # >= 1 in train (only trims users on degenerate tiny catalogs)
+        df = df.groupby('user_id').filter(lambda g: len(g) >= 3)
         test = df.groupby('user_id').sample(n=2, random_state=rng)
         train = df.drop(test.index)
     else:

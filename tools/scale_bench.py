@@ -186,7 +186,7 @@ def time_eval(n_items, n_eval_users=4096, max_deg=32, approx=None):
 def bench_size(name, n_users, n_items, avg_deg, backends):
     import jax
 
-    from textgcn_tpu.ops.pallas_spmm import SRC_BLOCK, PallasGraphOp
+    from textgcn_tpu.ops.pallas_spmm import PallasGraphOp
     from textgcn_tpu.ops.spmm import BipartiteGraphOp
 
     eu, ei, w = synth_edges(n_users, n_items, avg_deg)
@@ -194,8 +194,12 @@ def bench_size(name, n_users, n_items, avg_deg, backends):
     records = []
     for backend in backends:
         if backend == 'pallas':
-            nu_t = -(-n_users // SRC_BLOCK) * SRC_BLOCK
-            ni_t = -(-n_items // SRC_BLOCK) * SRC_BLOCK
+            # table rows rounded to 4096 exactly like the LightGCN model
+            # (lightgcn.py table_round) and bench.py — the sweep must
+            # measure the same table shapes (and hence the same compiled
+            # kernel variants) the trainer actually runs
+            nu_t = -(-n_users // 4096) * 4096
+            ni_t = -(-n_items // 4096) * 4096
             t0 = time.perf_counter()
             graph_op = PallasGraphOp(eu, ei, w, nu_t, ni_t, EMB)
             build_s = time.perf_counter() - t0
@@ -241,10 +245,10 @@ def bench_size(name, n_users, n_items, avg_deg, backends):
 def bench_native_layout(n_users, n_items, avg_deg):
     """Host layout-build cost: native C++ vs numpy, biggest size."""
     from textgcn_tpu import native
-    from textgcn_tpu.ops.pallas_spmm import SRC_BLOCK, PallasDirection
+    from textgcn_tpu.ops.pallas_spmm import PallasDirection
 
     eu, ei, w = synth_edges(n_users, n_items, avg_deg)
-    ni_t = -(-n_items // SRC_BLOCK) * SRC_BLOCK
+    ni_t = -(-n_items // 4096) * 4096
     out = {'metric': 'tile_layout_build_s', 'n_edges': len(eu)}
     for label, env in (('native', ''), ('numpy', '0')):
         os.environ['TEXTGCN_TPU_NATIVE'] = env
