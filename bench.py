@@ -133,7 +133,9 @@ def bench_jax(steps=30, refresh=0):
     # chain-difference timing with a scalar fetch per chain:
     # block_until_ready does not reliably sync through a remote relay
     # (CLAUDE.md), and the difference of a 3-call and a 1-call chain
-    # cancels the constant fetch RTT out of the measurement
+    # cancels the constant fetch RTT out of the measurement.  Each chain
+    # length is repeated and averaged — a single relay round trip has
+    # multi-hundred-ms variance, enough to corrupt a one-shot difference.
     def chain(n, seed):
         nonlocal params, opt_state
         t0 = time.perf_counter()
@@ -144,9 +146,14 @@ def bench_jax(steps=30, refresh=0):
         float(losses[-1])  # full device sync
         return time.perf_counter() - t0
 
+    def timed(n, seed0, reps):
+        import statistics
+        return statistics.median(
+            chain(n, seed0 + 10 * r) for r in range(reps))
+
     chain(1, 1)  # warmup + compile
-    t1 = chain(1, 2)
-    t3 = chain(3, 3)
+    t1 = timed(1, 100, reps=5)
+    t3 = timed(3, 200, reps=3)
     dt = (t3 - t1) / 2
     return BATCH * steps / dt, dt / steps
 
@@ -298,11 +305,14 @@ def bench_adv_jax(steps=12):
     float(r1(params, opt_state, key))
     float(r2(params, opt_state, key))
 
-    def t(run, reps=2):
-        t0 = time.perf_counter()
+    def t(run, reps=3):
+        import statistics
+        times = []
         for i in range(reps):
+            t0 = time.perf_counter()
             float(run(params, opt_state, jax.random.key(5 + i)))
-        return (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
 
     step_s = (t(r2) - t(r1)) / steps
     return step_s * 1e3, BATCH / step_s
@@ -362,17 +372,22 @@ def bench_ltr_eval(n_eval_users=8192):
             return acc
         return f
 
-    f1, f2 = run_n(1), run_n(4)
+    # wide chain spread + median reps (see tools/scale_bench.time_eval):
+    # narrow one-shot chain differences are corrupted by relay jitter
+    f1, f2 = run_n(1), run_n(6)
     float(f1(params, reprs, cap))
     float(f2(params, reprs, cap))
 
-    def t(f, reps=3):
-        t0 = time.perf_counter()
+    def t(f, reps=5):
+        import statistics
+        times = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             float(f(params, reprs, cap))
-        return (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
 
-    per_pass = (t(f2) - t(f1)) / 3
+    per_pass = (t(f2) - t(f1)) / 5
     return n_eval_users / per_pass
 
 

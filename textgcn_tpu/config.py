@@ -200,6 +200,9 @@ class Config:
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description='TPU-native TextGCN framework')
     d = Config()
+    from . import __version__
+    p.add_argument('--version', action='version',
+                   version=f'textgcn-tpu {__version__}')
     p.add_argument('--model', required=True, choices=MODEL_CHOICES)
     p.add_argument('--data', '-d', default=d.data)
     p.add_argument('--uid', type=str, default=None)

@@ -169,17 +169,24 @@ def time_eval(n_items, n_eval_users=4096, max_deg=32, approx=None):
             return acc
         return f
 
-    f1, f2 = run_n(1), run_n(4)
+    # wide chain spread (1 vs 6 passes) + median-of-reps: the per-pass
+    # time in serving mode can be a few ms, far below a single relay
+    # round trip's variance — a narrow one-shot difference can even go
+    # negative
+    f1, f2 = run_n(1), run_n(6)
     float(f1(users_emb, items_emb, pos))
     float(f2(users_emb, items_emb, pos))
 
-    def t(f, reps=3):
-        t0 = time.perf_counter()
+    def t(f, reps=5):
+        import statistics
+        times = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             float(f(users_emb, items_emb, pos))
-        return (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
 
-    per_pass = (t(f2) - t(f1)) / 3
+    per_pass = (t(f2) - t(f1)) / 5
     return n_eval_users / per_pass
 
 
