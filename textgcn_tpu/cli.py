@@ -174,6 +174,17 @@ def main(argv: list[str] | None = None):
         else:
             trainer.load(cfg.load_base)
 
+    if cfg.model == 'ltr_simple':
+        # zero-training concat-scoring probe over the loaded base
+        # (reference LTRSimple.fit, rejected_models.py:101-109)
+        assert cfg.load or cfg.load_base, \
+            'ltr_simple probes a pretrained base: pass --load/--load_base'
+        from .models.ltr_concat import probe_concat_scoring
+        results = probe_concat_scoring(cfg, data, trainer)
+        for mode, res in results.items():
+            logger.info('concat probe pos=%s: %s', mode, res)
+        return trainer
+
     if not cfg.no_train:
         if cfg.trace:
             from .utils.profiling import trace

@@ -40,6 +40,11 @@ MODEL_CHOICES = (
     # runnable here, xgboost degrades to sklearn GBRT when absent)
     'xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop',
     'marcus',        # per-positive negative-sampling tree head
+    # text-concat scoring family (reference rejected_models.py:45-109 —
+    # dead code there, runnable here)
+    'ltr_reviews',   # LightGCN from scratch, score in [gnn ++ review-text]
+    'ltr_kg',        # ... score in [gnn ++ description-text]
+    'ltr_simple',    # zero-training concat-scoring probe over a loaded base
 )
 
 

@@ -17,6 +17,7 @@ def get_class(name: str):
     from .models.adv_sampling import AdvSamplModel
     from .models.lightgcn import LightGCN
     from .models.ltr import LTRLinear, LTRLinearWPop
+    from .models.ltr_concat import LTRCosine, LTRSimple
     from .models.ltr_boosted import (LTRGradientBoosted,
                                      LTRGradientBoostedWPop,
                                      MarcusGradientBoosted)
@@ -41,6 +42,9 @@ def get_class(name: str):
         'xgboost_pop': (load_ltr_data, LTRGradientBoostedWPop),
         'gbdt_pop': (load_ltr_data, LTRGradientBoostedWPop),
         'marcus': (load_ltr_data, MarcusGradientBoosted),
+        'ltr_reviews': (load_ltr_data, LTRCosine),
+        'ltr_kg': (load_ltr_data, LTRCosine),
+        'ltr_simple': (load_ltr_data, LTRSimple),  # probe runs in cli
     }
     return registry[name]
 
