@@ -45,6 +45,9 @@ MODEL_CHOICES = (
     'ltr_reviews',   # LightGCN from scratch, score in [gnn ++ review-text]
     'ltr_kg',        # ... score in [gnn ++ description-text]
     'ltr_simple',    # zero-training concat-scoring probe over a loaded base
+    # graph-conv layer variants (reference rejected_models.py:7-42 —
+    # torch_geometric there, segment-op convs here)
+    'gcn', 'graphsage', 'gat', 'gatv2',
 )
 
 
@@ -104,6 +107,9 @@ class Config:
     popularity_mode: str = 'fixed'  # 'fixed' (true normalized counts) or
                                     # 'compat' (reference's literal formula,
                                     # SURVEY.md Q2)
+    aggr: str | None = None       # neighbor aggregation for the graphsage
+                                  # conv variant: mean|sum|max (reference
+                                  # --aggr, parser.py:123-125/:197)
 
     # --- serving / ops -------------------------------------------------------
     export_reprs: bool = False    # after training, write propagated
@@ -287,6 +293,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--trace', type=str, default=d.trace,
                    help='capture a jax.profiler device trace of training '
                         'into this directory')
+    p.add_argument('--aggr', '--aggregator', dest='aggr', default=d.aggr,
+                   choices=['mean', 'sum', 'max'],
+                   help='neighbor aggregation for the graphsage conv '
+                        'variant (reference parser.py:123-125)')
     p.add_argument('--refresh_every', type=int, default=d.refresh_every,
                    help='cached propagation: refresh the propagated part '
                         'every N steps instead of per step (throughput '
@@ -314,6 +324,7 @@ def parse_args(argv: list[str] | None = None) -> Config:
         emb_batch_size=ns.emb_batch_size, bert_model=ns.bert_model,
         sep=ns.sep, weight=weight, distance=distance, dist_fn=ns.dist_fn,
         pos=ns.pos, neg=ns.neg, popularity_mode=ns.popularity_mode,
+        aggr=ns.aggr,
         seed=ns.seed, reshuffle=ns.reshuffle, quiet=ns.quiet,
         logging_level=ns.logging_level, slurm=ns.slurm, mesh=ns.mesh,
         use_pallas=not ns.no_pallas, ckpt_backend=ns.ckpt_backend,

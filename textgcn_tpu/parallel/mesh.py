@@ -147,7 +147,8 @@ def shard_model(mesh: Mesh, model, propagation: str = 'auto'):
     model.pos_degree = jax.device_put(model.pos_degree, repl)
     for name in ('items_as_desc', 'items_as_avg_reviews',
                  'users_as_avg_reviews', 'users_as_avg_desc',
-                 'popularity_users', 'popularity_items'):
+                 'popularity_users', 'popularity_items',
+                 'users_text', 'items_text', 'conv_edges'):
         if hasattr(model, name):
             setattr(model, name,
                     jax.device_put(getattr(model, name), repl))

@@ -17,6 +17,7 @@ def get_class(name: str):
     from .models.adv_sampling import AdvSamplModel
     from .models.lightgcn import LightGCN
     from .models.ltr import LTRLinear, LTRLinearWPop
+    from .models.conv import ConvModel
     from .models.ltr_concat import LTRCosine, LTRSimple
     from .models.ltr_boosted import (LTRGradientBoosted,
                                      LTRGradientBoostedWPop,
@@ -45,6 +46,10 @@ def get_class(name: str):
         'ltr_reviews': (load_ltr_data, LTRCosine),
         'ltr_kg': (load_ltr_data, LTRCosine),
         'ltr_simple': (load_ltr_data, LTRSimple),  # probe runs in cli
+        'gcn': (base_loader, ConvModel),
+        'graphsage': (base_loader, ConvModel),
+        'gat': (base_loader, ConvModel),
+        'gatv2': (base_loader, ConvModel),
     }
     return registry[name]
 
