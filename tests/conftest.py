@@ -46,6 +46,21 @@ def rng():
 
 
 @pytest.fixture(autouse=True)
+def _reset_package_logger():
+    """``config.get_logger`` sets propagate=False and attaches handlers on
+    the shared 'textgcn_tpu' logger; a test driving the CLI (or calling
+    get_logger directly) must not silence caplog for later tests."""
+    import logging
+    logger = logging.getLogger('textgcn_tpu')
+    yield
+    for h in list(logger.handlers):
+        h.close()
+    logger.handlers.clear()
+    logger.propagate = True
+    logger.setLevel(logging.NOTSET)
+
+
+@pytest.fixture(autouse=True)
 def _isolate_retrieval_env():
     """Retrieval-mode env opt-ins are read at trace time; a test (or the
     CLI it drives) flipping one must never leak it into later tests."""
