@@ -112,3 +112,33 @@ def test_ltr_concat_registry_and_cli(tmp_path, dummy_dir, monkeypatch):
         '--uid', 'cosine', '--no_save',
     ])
     assert trainer.metrics_logger['recall'].size >= 1
+
+
+def test_concat_mesh_eval_matches_single(tmp_path, dummy_dir, concat_data):
+    """Under a mesh the concat family rides the fused catalog-sharded
+    top-k (u_cat = [gnn ++ text]); eval metrics must match the
+    single-chip path bit-tolerantly with identical params."""
+    from textgcn_tpu.parallel.mesh import make_mesh, shard_model
+
+    mesh = make_mesh((4, 2))
+    padded = concat_data.padded_to(mesh.size)
+    cfg = make_cfg(tmp_path, dummy_dir, uid='meshcat')
+    model = LTRCosine(cfg, padded)
+    assert model.supports_fused_sharded_topk
+    shard_model(mesh, model)
+    tr_mesh = Trainer(cfg, model, padded, mesh=mesh)
+
+    model_s = LTRCosine(cfg, concat_data)
+    tr_single = Trainer(cfg, model_s, concat_data)
+    pu = np.asarray(tr_single.params['user_emb'])
+    pi = np.asarray(tr_single.params['item_emb'])
+    tr_mesh.params = {
+        'user_emb': jnp.asarray(np.pad(
+            pu, ((0, model.n_users_t - pu.shape[0]), (0, 0)))),
+        'item_emb': jnp.asarray(np.pad(
+            pi, ((0, model.n_items_t - pi.shape[0]), (0, 0)))),
+    }
+    r_mesh = tr_mesh.evaluate()
+    r_single = tr_single.evaluate()
+    for m in r_single:
+        np.testing.assert_allclose(r_mesh[m], r_single[m], atol=1e-4)

@@ -6,6 +6,8 @@ development tooling for picking kernel parameters.
 """
 
 import functools
+import os
+import sys
 import time
 
 import jax
@@ -13,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import textgcn_tpu.ops.pallas_spmm as P
 
@@ -60,7 +64,12 @@ def make_variant(mode, precision):
 
         @pl.when(g < ptr_ref[b + 1])
         def _():
-            if mode == 'merged_scatter':
+            if mode in ('merged_scatter', 'scat_bf16'):
+                # scat_bf16: scatter one-hot + weighted rows in bf16 (the
+                # gather side is already bf16 when x is bf16); the scatter
+                # matmul accumulates f32 as before.  Halves the largest
+                # VPU-materialized tensor per group (the (DB, G*C) one-hot).
+                scat_t = jnp.bfloat16 if mode == 'scat_bf16' else jnp.float32
                 rows_all = []
                 for j in range(G):
                     sb = sb_ref[g * G + j]
@@ -69,15 +78,16 @@ def make_variant(mode, precision):
                     start = pl.multiple_of(sb * SB, SB)
                     xb = x_ref[pl.ds(start, SB), :]
                     s_g = (src_local[:, None] == jax.lax.broadcasted_iota(
-                        jnp.int32, (C, SB), 1)).astype(jnp.float32)
+                        jnp.int32, (C, SB), 1)).astype(xb.dtype)
                     rows = jnp.dot(s_g, xb, precision=precision,
                                    preferred_element_type=jnp.float32)
-                    rows_all.append(rows * w_ref[0, j, :][:, None])
+                    rows_all.append((rows * w_ref[0, j, :][:, None])
+                                    .astype(scat_t))
                 rows_cat = jnp.concatenate(rows_all, axis=0)   # (G*C, D)
                 dst_all = (packed_ref[0].reshape(-1) >> 16)    # (G*C,)
                 s_s = (jax.lax.broadcasted_iota(
                     jnp.int32, (DB, G * C), 0)
-                    == dst_all[None, :]).astype(jnp.float32)
+                    == dst_all[None, :]).astype(scat_t)
                 out_ref[:] += jnp.dot(s_s, rows_cat, precision=precision,
                                       preferred_element_type=jnp.float32)
                 return
@@ -139,7 +149,12 @@ def make_variant(mode, precision):
 
     x = np.zeros((op.n_src_padded, D), np.float32)
     x[:NI] = rng.randn(NI, D)
-    return call, jnp.asarray(x), op
+    xj = jnp.asarray(x)
+    # production feeds the kernel a bf16 x at DEFAULT precision — the
+    # merged/scat variants measure against that baseline
+    if mode in ('merged_scatter', 'scat_bf16'):
+        xj = xj.astype(jnp.bfloat16)
+    return call, xj, op
 
 
 def main():
