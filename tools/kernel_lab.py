@@ -159,13 +159,19 @@ def make_variant(mode, precision):
 
 def main():
     import sys
+    # TEXTGCN_TPU_LAB_GROUP overrides the chunks-per-DMA group size for
+    # the whole layout + kernel (module global, read at build time)
+    lab_group = os.environ.get('TEXTGCN_TPU_LAB_GROUP', '')
+    if lab_group:
+        P.GROUP = int(lab_group)
     modes = sys.argv[1:] or ['full', 'no_gather', 'no_scatter',
                              'merged_scatter']
     for mode in modes:
         for prec in (jax.lax.Precision.DEFAULT,):
             call, x, op = make_variant(mode, prec)
             ms = chain_time(call, x)
-            print(f'{mode:16s} {str(prec):10s}: {ms:6.2f} ms/call')
+            print(f'{mode:16s} {str(prec):10s} GROUP={P.GROUP:2d}: '
+                  f'{ms:6.2f} ms/call')
 
 
 if __name__ == '__main__':
