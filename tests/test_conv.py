@@ -22,7 +22,7 @@ from textgcn_tpu.train.trainer import Trainer
 def make_cfg(tmp_path, dummy_dir, **kw):
     defaults = dict(model='gcn', data=str(dummy_dir), epochs=4,
                     evaluate_every=2, batch_size=16, emb_size=16,
-                    n_layers=2, dropout=0.0, k=(3, 5), seed=0,
+                    n_layers=2, dropout=0.0, k=(3, 5), seed=0, aggr='mean',
                     save_path=str(tmp_path / 'run'))
     defaults.update(kw)
     cfg = Config(**defaults).finalize()

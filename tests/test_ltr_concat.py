@@ -130,14 +130,23 @@ def test_concat_mesh_eval_matches_single(tmp_path, dummy_dir, concat_data):
 
     model_s = LTRCosine(cfg, concat_data)
     tr_single = Trainer(cfg, model_s, concat_data)
-    pu = np.asarray(tr_single.params['user_emb'])
-    pi = np.asarray(tr_single.params['item_emb'])
-    tr_mesh.params = {
-        'user_emb': jnp.asarray(np.pad(
-            pu, ((0, model.n_users_t - pu.shape[0]), (0, 0)))),
-        'item_emb': jnp.asarray(np.pad(
-            pi, ((0, model.n_items_t - pi.shape[0]), (0, 0)))),
-    }
+    # carry over the FULL single-chip param pytree (not just the tables),
+    # pad table leaves to the mesh model's padded row counts, and place
+    # with the trainer's real param shardings — stays correct if the
+    # concat family ever gains head params or runs on a real mesh
+    from textgcn_tpu.parallel.mesh import shard_params
+
+    def pad_leaf(name, v):
+        v = np.asarray(v)
+        if v.ndim == 2 and v.shape[0] == model_s.n_users_t:
+            return np.pad(v, ((0, model.n_users_t - v.shape[0]), (0, 0)))
+        if v.ndim == 2 and v.shape[0] == model_s.n_items_t:
+            return np.pad(v, ((0, model.n_items_t - v.shape[0]), (0, 0)))
+        return v
+
+    tr_mesh.params = shard_params(mesh, {
+        k: jnp.asarray(pad_leaf(k, v))
+        for k, v in tr_single.params.items()})
     r_mesh = tr_mesh.evaluate()
     r_single = tr_single.evaluate()
     for m in r_single:

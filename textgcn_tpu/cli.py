@@ -17,7 +17,7 @@ import os
 
 import jax
 
-from .config import get_logger, parse_args
+from .config import get_logger, parse_args, warn_footguns
 from .registry import get_class
 from .train.trainer import Trainer
 
@@ -115,6 +115,7 @@ def main(argv: list[str] | None = None):
         # read this at trace time (ops/retrieval.env_recall)
         os.environ['TEXTGCN_TPU_APPROX_TOPK'] = str(cfg.approx_topk)
     logger = get_logger(cfg)
+    warn_footguns(cfg, logger)  # LTR base-not-loaded / not-frozen warnings
     loader, model_cls = get_class(cfg.model)
     logger.info('Class: %s', model_cls.__name__)
     logger.info('%s', cfg)

@@ -50,6 +50,15 @@ MODEL_CHOICES = (
     'gcn', 'graphsage', 'gat', 'gatv2',
 )
 
+# conv variants require an explicit --aggr (reference parser.py:196-197)
+CONV_MODELS = ('gcn', 'graphsage', 'gat', 'gatv2')
+
+# LTR heads meant to run over a pretrained, frozen LightGCN base; training
+# them from scratch / unfrozen is the foot-gun the reference warns about
+# (parser.py:179-183).  The boosted heads share the same contract.
+LTR_WARN_MODELS = ('ltr_linear', 'ltr_pop', 'ltr_simple',
+                   'xgboost', 'gbdt', 'xgboost_pop', 'gbdt_pop', 'marcus')
+
 
 @dataclass
 class Config:
@@ -194,6 +203,12 @@ class Config:
         assert not (self.refresh_every and self.single), \
             'cached propagation (--refresh_every) requires the layer-mean ' \
             'combination; --single has no ego term to keep fresh'
+        if self.model in CONV_MODELS:
+            # the reference demands an explicit aggregator for the conv
+            # family (parser.py:196-197) rather than a silent default
+            assert self.aggr is not None, \
+                f'--aggr is required for conv model {self.model!r}: ' \
+                f'pass one of mean|sum|max'
 
     @property
     def mesh_shape(self) -> tuple[int, int]:
@@ -334,6 +349,30 @@ def parse_args(argv: list[str] | None = None) -> Config:
     ).finalize()
     cfg.validate()
     return cfg
+
+
+def warn_footguns(cfg: Config,
+                  logger: logging.Logger | None = None) -> list[str]:
+    """Log the reference's LTR foot-gun warnings (``parser.py:179-183``).
+
+    An LTR head trained without a pretrained base, or over unfrozen
+    embeddings, silently degrades — the reference warns rather than
+    asserts, and so do we.  Returns the warning strings (for tests).
+    """
+    logger = logger or logging.getLogger('textgcn_tpu')
+    warnings: list[str] = []
+    if cfg.model in LTR_WARN_MODELS:
+        if cfg.load_base is None and cfg.load is None:
+            warnings.append(
+                'Base model not loaded for LTR model, training it from '
+                'scratch.')
+        if not cfg.freeze:
+            warnings.append(
+                'Base model not frozen for LTR model, this will degrade '
+                'performance')
+    for w in warnings:
+        logger.warning(w)
+    return warnings
 
 
 def get_logger(cfg: Config) -> logging.Logger:

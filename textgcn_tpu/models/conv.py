@@ -224,8 +224,13 @@ class ConvModel(LightGCN):
     def __init__(self, cfg, data):
         super().__init__(cfg, data)
         self.conv = cfg.model if cfg.model in CONV_TYPES else 'gcn'
-        self.aggr = cfg.aggr or 'mean'
-        assert self.aggr in ('mean', 'sum', 'max'), cfg.aggr
+        # explicit aggregator required — no silent default (the reference
+        # hard-asserts this at parse time, parser.py:196-197; so does
+        # Config.validate, this guards direct construction)
+        assert cfg.aggr in ('mean', 'sum', 'max'), \
+            f'conv models require an explicit aggregator ' \
+            f'(--aggr mean|sum|max), got {cfg.aggr!r}'
+        self.aggr = cfg.aggr
         g = data.graph
         self.conv_edges = {
             'edge_user': jnp.asarray(g.edge_user),

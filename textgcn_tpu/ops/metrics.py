@@ -110,11 +110,19 @@ def early_stop(history: dict[str, np.ndarray]) -> bool:
     """
     if len(history['recall']) < 3:
         return False
-    declining = all(
-        np.less(m[-1], m[-2]).all() and np.less(m[-2], m[-3]).all()
-        for m in history.values())
-    converged = (
-        all(np.allclose(m[-1], m[-2], atol=1e-4) for m in history.values())
-        and all(np.allclose(m[-1], m[-3], atol=1e-4)
-                for m in history.values()))
-    return converged or declining
+    # Stack the three most recent eval rows per metric: window[0] is the
+    # oldest of the three, window[2] the newest.
+    windows = [np.stack([np.asarray(v[-3]), np.asarray(v[-2]),
+                         np.asarray(v[-1])]) for v in history.values()]
+
+    def _plateaued(w: np.ndarray) -> bool:
+        # newest row within tolerance of each of the two before it
+        # (np.allclose semantics: atol=1e-4 plus default rtol)
+        return bool(np.allclose(w[2], w[1], atol=1e-4)
+                    and np.allclose(w[2], w[0], atol=1e-4))
+
+    def _sinking(w: np.ndarray) -> bool:
+        # each eval strictly worse than the one before, at every k
+        return bool((np.diff(w, axis=0) < 0).all())
+
+    return all(map(_plateaued, windows)) or all(map(_sinking, windows))

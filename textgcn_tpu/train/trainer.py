@@ -229,10 +229,21 @@ class Trainer:
             lambda b, i, size: jax.lax.dynamic_slice_in_dim(b, i, size, 0),
             static_argnames=('size',))
 
+        # in-epoch progress (reference shows a per-batch tqdm bar honoring
+        # --slurm, base_model.py:117-120; here a "batch" of progress is one
+        # dispatched chunk — the finest host-visible granularity when the
+        # epoch runs as jitted device calls)
+        from ..parallel.multihost import is_primary
+        show_batches = not (cfg.slurm or cfg.quiet) and is_primary()
+
         def chunked(params, opt_state, key):
+            from tqdm import tqdm
             batches, drop_keys = sample_j(key, captured)
             extra = init_extra_j(params)
             sums = None
+            bar = tqdm(total=n_batches, desc='train batches', leave=False,
+                       dynamic_ncols=True, disable=not show_batches,
+                       unit='batch')
             for i in range(0, n_batches, m):
                 size = min(m, n_batches - i)
                 xs = tuple(take(b, i, size) for b in (*batches, drop_keys))
@@ -243,6 +254,8 @@ class Trainer:
                 else:
                     sums = {k: (sums[k] | s[k]) if k == 'nan'
                             else sums[k] + s[k] for k in sums}
+                bar.update(size)
+            bar.close()
             return params, opt_state, sums
 
         return chunked
@@ -325,6 +338,11 @@ class Trainer:
         sums = jax.device_get(sums)
         assert not sums['nan'], f'loss is NA at epoch {epoch}'
         self._step_timer.tick()
+        bar = getattr(self, '_epoch_bar', None)
+        if bar is not None:
+            bar.update(1)
+            bar.set_postfix_str(self._format_components(sums),
+                                refresh=False)
         if log.isEnabledFor(logging.DEBUG):
             log.debug('Epoch %d: %s (%.2fs/epoch)', epoch,
                       self._format_components(sums),
@@ -376,10 +394,18 @@ class Trainer:
         stopped = False
         self._stop_requested = False
         restore_handler = self._install_preemption_handler()
+        # epoch progress bar honoring --quiet (reference base_model.py:112)
+        from tqdm import tqdm
+        from ..parallel.multihost import is_primary
+        self._epoch_bar = tqdm(
+            total=cfg.epochs, initial=self._start_epoch - 1, desc='epochs',
+            dynamic_ncols=True, disable=cfg.quiet or not is_primary())
         try:
             stopped = self._fit_loop(cfg, epoch_examples, t0, pending)
         finally:
             restore_handler()
+            self._epoch_bar.close()
+            self._epoch_bar = None
         if not stopped and cfg.epochs % cfg.evaluate_every:
             # final epoch was not an eval epoch: save latest (the eval-
             # epoch path checkpointed already otherwise)

@@ -150,9 +150,10 @@ def make_variant(mode, precision):
     x = np.zeros((op.n_src_padded, D), np.float32)
     x[:NI] = rng.randn(NI, D)
     xj = jnp.asarray(x)
-    # production feeds the kernel a bf16 x at DEFAULT precision — the
-    # merged/scat variants measure against that baseline
-    if mode in ('merged_scatter', 'scat_bf16'):
+    # x dtype is uniform across ALL modes so ablations vary exactly one
+    # thing (kernel structure).  Production feeds the kernel bf16 x at
+    # DEFAULT precision; override with TEXTGCN_TPU_LAB_XDTYPE=f32.
+    if os.environ.get('TEXTGCN_TPU_LAB_XDTYPE', 'bf16') != 'f32':
         xj = xj.astype(jnp.bfloat16)
     return call, xj, op
 
@@ -170,8 +171,8 @@ def main():
         for prec in (jax.lax.Precision.DEFAULT,):
             call, x, op = make_variant(mode, prec)
             ms = chain_time(call, x)
-            print(f'{mode:16s} {str(prec):10s} GROUP={P.GROUP:2d}: '
-                  f'{ms:6.2f} ms/call')
+            print(f'{mode:16s} {str(prec):10s} GROUP={P.GROUP:2d} '
+                  f'x={x.dtype}: {ms:6.2f} ms/call')
 
 
 if __name__ == '__main__':
