@@ -82,7 +82,19 @@ class AdvSamplModel(LightGCN):
         """
         users, mask = batch
         k_rank, k_loss, k_pos, k_cand = jax.random.split(dropout_key, 4)
+        keep = jax.random.bernoulli(
+            k_cand, self.n_candidates / self.n_items,
+            (users.shape[0], self.n_items))
+        ridx = jax.random.randint(
+            k_pos, (users.shape[0], self.pos_samples), 0, 1 << 30)
+        return self._loss_given(params, users, mask, keep, ridx,
+                                k_rank, k_loss)
 
+    def _loss_given(self, params, users, mask, keep, ridx, k_rank, k_loss):
+        """Selection + expanded loss with the random draws (candidate keep
+        mask, positive indices) passed in — the seam the golden torch
+        oracle drives with shared randomness (tests/test_torch_parity.py).
+        """
         # ranking pass (no gradient, fresh dropout draw)
         rank_reprs = jax.tree.map(
             jax.lax.stop_gradient,
@@ -105,8 +117,6 @@ class AdvSamplModel(LightGCN):
                          preferred_element_type=jnp.bfloat16)
         scores = mask_train_items(scores, self.pos_padded[users],
                                   self.n_items)      # positives
-        keep = jax.random.bernoulli(
-            k_cand, self.n_candidates / self.n_items, scores.shape)
         scores = jnp.where(keep, scores, NEG_INF.astype(scores.dtype))
 
         # hardest negatives: top-K of masked scores (global item ids);
@@ -116,9 +126,7 @@ class AdvSamplModel(LightGCN):
         neg_valid = top_scores > NEG_INF                    # (B, K)
 
         # random positives (with replacement) per user
-        b = users.shape[0]
         deg = jnp.maximum(self.pos_degree[users], 1)
-        ridx = jax.random.randint(k_pos, (b, self.pos_samples), 0, 1 << 30)
         pos = jnp.take_along_axis(
             self.pos_padded[users], (ridx % deg[:, None]).astype(jnp.int32),
             axis=1)                                         # (B, P)
