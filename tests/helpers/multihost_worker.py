@@ -24,11 +24,16 @@ import os
 import sys
 
 pid, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+# process topology: <n_processes> <devices_per_process> (default 2x2 =
+# 4 global devices; the 4-process case runs 4x1 — same global mesh)
+n_procs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+local_dev = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 os.environ['JAX_PLATFORMS'] = 'cpu'
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['XLA_FLAGS'] = \
+    f'--xla_force_host_platform_device_count={local_dev}'
 os.environ['TEXTGCN_TPU_TEXT_ENCODER'] = 'stub'
 os.environ['JAX_COORDINATOR_ADDRESS'] = f'127.0.0.1:{port}'
-os.environ['JAX_NUM_PROCESSES'] = '2'
+os.environ['JAX_NUM_PROCESSES'] = str(n_procs)
 os.environ['JAX_PROCESS_ID'] = str(pid)
 
 import jax  # noqa: E402
@@ -48,7 +53,7 @@ from textgcn_tpu.parallel.multihost import (is_primary,  # noqa: E402
 
 active = maybe_initialize()
 assert active, 'maybe_initialize did not activate the multi-process runtime'
-assert jax.process_count() == 2
+assert jax.process_count() == n_procs
 assert is_primary() == (pid == 0)
 
 from textgcn_tpu.parallel.mesh import (DATA_AXIS, make_mesh,  # noqa: E402
@@ -93,8 +98,11 @@ ckptr.save_latest(ckpt_dir, {'params': params, 'epoch': 1})
 restored = ckptr.load(os.path.join(ckpt_dir, ckptr.latest_name))
 assert restored['epoch'] == 1
 for k in params:
+    # compare on-device: the restored global array spans non-addressable
+    # devices when each process holds one chip, so no host fetch of the
+    # full value is possible — jit reshards and reduces instead
     diff = jax.jit(lambda a, b: jnp.abs(a - b).max())(
-        params[k], jnp.asarray(np.asarray(restored['params'][k])))
+        params[k], restored['params'][k])
     assert float(jax.device_get(diff)) == 0.0, k
 
 # --- 3. primary-only pickle / predictions guards on a real Trainer ---------

@@ -98,3 +98,31 @@ def test_auto_falls_back_to_stub_without_model(monkeypatch):
     got = encode_sentences(['a', 'b'], '/nonexistent/model-dir',
                            batch_size=2)
     assert got.shape == (2, STUB_DIM)
+
+
+def test_flax_encode_matches_sentence_transformers(tiny_bert, monkeypatch):
+    """Numerical parity with the ACTUAL `SentenceTransformer.encode`
+    pipeline the reference calls (utils.py:109-112), assembled offline
+    from the tiny local checkpoint: Transformer -> Pooling(mean) ->
+    Normalize.  Guards every convention at once (special tokens in the
+    mean, truncation, normalization order) against library drift."""
+    st_mod = pytest.importorskip('sentence_transformers')
+
+    monkeypatch.setenv('HF_HUB_OFFLINE', '1')
+    from sentence_transformers import SentenceTransformer, models
+
+    word = models.Transformer(tiny_bert, max_seq_length=32)
+    pool = models.Pooling(word.get_word_embedding_dimension(),
+                          pooling_mode='mean')
+    st = SentenceTransformer(modules=[word, pool, models.Normalize()],
+                             device='cpu')
+    want = st.encode(SENTENCES, batch_size=3, convert_to_numpy=True,
+                     normalize_embeddings=False, show_progress_bar=False)
+
+    from textgcn_tpu.data.encoder_flax import flax_encode
+    got = flax_encode(SENTENCES, tiny_bert, batch_size=3)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    cos = (got * want).sum(-1)  # both unit-norm
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)

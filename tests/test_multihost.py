@@ -1,9 +1,12 @@
-"""Local 2-process jax.distributed test (VERDICT r1 item 7).
+"""Local multi-process jax.distributed tests (VERDICT r1 item 7, r2 item 8).
 
-Spawns two real processes against a 127.0.0.1 coordinator (2 virtual CPU
-devices each, 4 global), exercising multihost init, a sharded step with
-the framework's sharding conventions, cooperative orbax save/load, and
-the primary-only pickle/prediction guards.  See helpers/multihost_worker.
+Spawns real processes against a 127.0.0.1 coordinator, exercising multihost
+init, a sharded step with the framework's sharding conventions, cooperative
+orbax save/load, primary-only pickle/prediction guards, the full mesh
+Trainer, and a hard kill-and-resume cycle.  Two topologies for the main
+scenario: 2 processes x 2 devices and 4 processes x 1 device (same 4-device
+global mesh, different process boundaries).  See helpers/multihost_worker
+and helpers/multihost_crash_worker.
 """
 
 import os
@@ -11,8 +14,11 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, 'helpers', 'multihost_worker.py')
+CRASH_WORKER = os.path.join(HERE, 'helpers', 'multihost_crash_worker.py')
 
 
 def _free_port():
@@ -21,28 +27,38 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_distributed(tmp_path):
+def _launch(script, n_procs, extra_args, timeout=420):
+    """Run n_procs copies of a worker script; returns list of outputs."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(p), str(port), str(tmp_path)],
+        [sys.executable, script, str(p), str(port)] + extra_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env) for p in (0, 1)]
+        env=env) for p in range(n_procs)]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.parametrize('n_procs,local_dev', [(2, 2), (4, 1)],
+                         ids=['2proc_x_2dev', '4proc_x_1dev'])
+def test_multi_process_distributed(tmp_path, n_procs, local_dev):
+    procs, outs = _launch(
+        WORKER, n_procs,
+        [str(tmp_path), str(n_procs), str(local_dev)])
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out[-4000:]}'
     lines = [line for out in outs for line in out.splitlines()
              if line.startswith('MULTIHOST_OK')]
-    assert len(lines) == 2, outs
+    assert len(lines) == n_procs, outs
     losses = {line.split('loss=')[1].split()[0] for line in lines}
     assert len(losses) == 1, f'processes disagree on loss: {lines}'
     recalls = {line.split('recall=')[1] for line in lines}
@@ -52,5 +68,41 @@ def test_two_process_distributed(tmp_path):
     assert os.path.exists(tmp_path / 'ckpt' / 'latest_checkpoint.orbax')
     # only the primary wrote pickle artifacts
     assert os.path.exists(tmp_path / 'trainer_p0' / 'latest_checkpoint.pkl')
-    assert not os.path.exists(tmp_path / 'trainer_p1'
-                              / 'latest_checkpoint.pkl')
+    for p in range(1, n_procs):
+        assert not os.path.exists(tmp_path / f'trainer_p{p}'
+                                  / 'latest_checkpoint.pkl')
+
+
+def test_orbax_kill_and_resume(tmp_path):
+    """Hard process death right after a cooperative orbax checkpoint, then
+    resume in a fresh 2-process launch: the continuation must be
+    bit-identical to an uninterrupted run."""
+    # phase 1: train 2/4 epochs, die hard (os._exit, no teardown)
+    procs, outs = _launch(CRASH_WORKER, 2, [str(tmp_path), 'crash'])
+    for p, out in zip(procs, outs):
+        assert p.returncode == 77, \
+            f'crash phase rc={p.returncode}:\n{out[-4000:]}'
+    assert os.path.exists(tmp_path / 'run' / 'latest_checkpoint.orbax')
+    assert os.path.exists(tmp_path / 'run' / 'resume_state.orbax')
+
+    # phase 2: resume from the shared dir, run epochs 3-4
+    procs, outs = _launch(CRASH_WORKER, 2, [str(tmp_path), 'resume'])
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'resume phase:\n{out[-4000:]}'
+    resumed = {line.split('recalls=')[1]
+               for out in outs for line in out.splitlines()
+               if line.startswith('CRASH_RESUME_OK')}
+    assert len(resumed) == 1, outs
+
+    # phase 3: uninterrupted 4-epoch oracle
+    procs, outs = _launch(CRASH_WORKER, 2, [str(tmp_path), 'full'])
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'full phase:\n{out[-4000:]}'
+    full = {line.split('recalls=')[1]
+            for out in outs for line in out.splitlines()
+            if line.startswith('CRASH_FULL_OK')}
+    assert len(full) == 1, outs
+
+    assert resumed == full, (
+        f'kill-and-resume perturbed the trajectory:\n'
+        f'resumed={resumed}\nfull   ={full}')

@@ -683,13 +683,25 @@ class Trainer:
 
         new_leaves = []
         for i, cur in enumerate(leaves):
-            got = np.asarray(rs['opt_leaves'][str(i)]).astype(cur.dtype)
-            if got.shape != cur.shape:
+            got = rs['opt_leaves'][str(i)]
+            if tuple(got.shape) != tuple(cur.shape):
                 raise ValueError(
                     f'--resume requires the same model/backend/mesh '
                     f'config as the saving run (optimizer leaf {i}: '
-                    f'saved {got.shape} vs current {cur.shape})')
-            new_leaves.append(place(got, cur))
+                    f'saved {tuple(got.shape)} vs current '
+                    f'{tuple(cur.shape)})')
+            if isinstance(got, jax.Array) and not got.is_fully_addressable:
+                # a cooperative orbax restore hands back a globally-sharded
+                # array; when each process holds a single chip no host copy
+                # exists — reshard/cast on device instead of fetching
+                sh = getattr(cur, 'sharding', None)
+                if isinstance(sh, jax.sharding.SingleDeviceSharding):
+                    sh = None
+                new_leaves.append(jax.jit(
+                    lambda x, d=cur.dtype: x.astype(d),
+                    out_shardings=sh)(got))
+                continue
+            new_leaves.append(place(np.asarray(got).astype(cur.dtype), cur))
         self.opt_state = jax.tree.unflatten(treedef, new_leaves)
         self.key = jax.random.wrap_key_data(jnp.asarray(rs['key_data']))
         self.metrics_logger = {m: np.asarray(rs['metrics'][m])
