@@ -61,6 +61,7 @@ def make_sharded_train_step(mesh, model, optimizer):
         return jitted(params, opt_state, batch, key,
                       model.captured_state())
 
+    run.jitted = jitted  # exposed for HLO audits (tools/collective_audit)
     return run
 
 
