@@ -166,6 +166,13 @@ def audit_model(mesh, cfg, data, model, k: int | None = None) -> dict:
         'eval_batch': audit_eval_batch(mesh, model, cfg.batch_size, k,
                                        fused=fused),
     }
+    if fused:
+        # docs/SCALING.md finding: the collapsed-tower fused factors are
+        # computed locally from replicated propagated tables, so the
+        # fused eval is collective-identical to plain scoring.  Keep the
+        # plain lowering in the JSON so that claim stays regression-checked.
+        out['eval_batch_plain'] = audit_eval_batch(
+            mesh, model, cfg.batch_size, k, fused=False)
     return out
 
 
@@ -173,7 +180,8 @@ def format_audit(audit: dict) -> str:
     lines = [f"collective audit: model={audit['model']} "
              f"mesh={audit['mesh']} B={audit['batch_size']} "
              f"d={audit['emb_size']}"]
-    for phase in ('train_step', 'eval_batch'):
+    phases = ('train_step', 'eval_batch', 'eval_batch_plain')
+    for phase in (p for p in phases if p in audit):
         s = audit[phase]
         lines.append(f"  {phase}: {s['count']} collectives, "
                      f"{s['bytes'] / 1e6:.3f} MB/device")
@@ -207,12 +215,15 @@ def main(argv=None):
     os.environ.setdefault('TEXTGCN_TPU_TEXT_ENCODER', 'stub')
     p = argparse.ArgumentParser()
     p.add_argument('--devices', type=int, default=8)
+    p.add_argument('--mesh', default='',
+                   help='explicit DATAxMODEL shape, e.g. 4x2')
     p.add_argument('--data', default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'data', 'dummy'))
     p.add_argument('--models', default='lgcn,ltr_linear')
     p.add_argument('--batch_size', type=int, default=256)
     p.add_argument('--emb_size', type=int, default=64)
+    p.add_argument('--k', type=int, default=5)
     p.add_argument('--json', action='store_true')
     args = p.parse_args(argv)
 
@@ -223,13 +234,16 @@ def main(argv=None):
     jax.config.update('jax_platforms', 'cpu')
 
     from textgcn_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh(None, devices=jax.devices()[:args.devices])
+    shape = (tuple(int(v) for v in args.mesh.split('x'))
+             if args.mesh else None)
+    mesh = make_mesh(shape, devices=jax.devices()[:args.devices])
 
     results = []
     for name in args.models.split(','):
         cfg, data, model = _build(name, args.data, mesh,
                                   batch_size=args.batch_size,
-                                  emb_size=args.emb_size)
+                                  emb_size=args.emb_size,
+                                  k=(args.k,))
         audit = audit_model(mesh, cfg, data, model)
         results.append(audit)
         print(format_audit(audit))
