@@ -252,27 +252,47 @@ def synth_interactions():
         user_mapping=None, item_mapping=None)
 
 
-def _bench_cfg(model: str):
+def _bench_cfg(model: str, **kw):
     from textgcn_tpu.config import Config
     return Config(model=model, epochs=1, batch_size=BATCH, emb_size=EMB,
                   n_layers=LAYERS, dropout=DROPOUT, k=(20, 40),
-                  save=False, save_path='/tmp/bench_run').finalize()
+                  save=False, save_path='/tmp/bench_run', **kw).finalize()
 
 
-def bench_adv_jax(steps=12):
-    """AdvSampl hard-negative-selection training step (the reference's
-    known bottleneck, ``advanced_sampling.py:46-69``), real model path."""
+def synth_text_data(dim=384):
+    """LTRData over the synthetic graph with random unit-scale text
+    features (the text/LTR families' input shape; stub-encoder scale)."""
+    from textgcn_tpu.data.text import LTRData
+
+    base = synth_interactions()
+    rng = np.random.RandomState(1)
+
+    def t_feats(n):
+        return (rng.randn(n, dim) / np.sqrt(dim)).astype(np.float32)
+
+    return LTRData(
+        **{f: getattr(base, f) for f in (
+            'n_users', 'n_items', 'n_train', 'n_test', 'graph',
+            'pos_padded', 'pos_degree', 'test_users', 'true_test',
+            'user_id_map', 'item_id_map', 'train_df', 'test_df',
+            'user_mapping', 'item_mapping')},
+        items_as_desc=t_feats(N_ITEMS),
+        items_as_avg_reviews=t_feats(N_ITEMS),
+        users_as_avg_reviews=t_feats(N_USERS),
+        users_as_avg_desc=t_feats(N_USERS), text_dim=dim)
+
+
+def _bench_train_step(model, steps=12):
+    """Chain-difference timing of a real model's train step: sample one
+    on-device epoch, scan loss+grad+Adam over the first n batches, time
+    the (3+steps)-batch chain minus the 3-batch chain.  Returns
+    (ms/step, examples/s)."""
     import jax
     import optax
 
-    from textgcn_tpu.models.adv_sampling import AdvSamplModel
-
-    data = synth_interactions()
-    model = AdvSamplModel(_bench_cfg('adv_sampling'), data)
     params = model.init_params(jax.random.key(0))
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-
     cap = model.captured_state()
 
     def make_run(n):
@@ -280,22 +300,23 @@ def bench_adv_jax(steps=12):
         def run(params, opt_state, key, cap):
             with model.bound(cap):
                 k_s, k_d = jax.random.split(key)
-                users, mask = model.sample_batches(k_s, BATCH)
-                dks = jax.random.split(k_d, users.shape[0])
+                batches = model.sample_batches(k_s, BATCH)
+                n_batches = jax.tree.leaves(batches)[0].shape[0]
+                dks = jax.random.split(k_d, n_batches)
 
                 def step(carry, xs):
                     params, opt_state = carry
-                    bu, bm, dk = xs
+                    *batch, dk = xs
                     (loss, _), grads = jax.value_and_grad(
-                        model.loss, has_aux=True)(params, (bu, bm), dk)
+                        model.loss, has_aux=True)(params, tuple(batch), dk)
                     updates, opt_state = optimizer.update(
                         grads, opt_state, params)
                     return (optax.apply_updates(params, updates),
                             opt_state), loss
 
+                xs = tuple(b[:n] for b in batches) + (dks[:n],)
                 (params, opt_state), losses = jax.lax.scan(
-                    step, (params, opt_state),
-                    (users[:n], mask[:n], dks[:n]))
+                    step, (params, opt_state), xs)
             return losses.sum()
         return lambda p, o, k: run(p, o, k, cap)
 
@@ -318,6 +339,35 @@ def bench_adv_jax(steps=12):
     return step_s * 1e3, BATCH / step_s
 
 
+def bench_adv_jax(steps=12):
+    """AdvSampl hard-negative-selection training step (the reference's
+    known bottleneck, ``advanced_sampling.py:46-69``), real model path."""
+    from textgcn_tpu.models.adv_sampling import AdvSamplModel
+
+    model = AdvSamplModel(_bench_cfg('adv_sampling'), synth_interactions())
+    return _bench_train_step(model, steps)
+
+
+def bench_conv_jax(steps=12, conv='gcn'):
+    """Graph-conv family training step (bipartite segment-op propagation,
+    reference ``rejected_models.py:27-42``), real model path."""
+    from textgcn_tpu.models.conv import ConvModel
+
+    cfg = _bench_cfg(conv, aggr='mean')
+    model = ConvModel(cfg, synth_interactions())
+    return _bench_train_step(model, steps)
+
+
+def bench_text_jax(steps=12):
+    """Text-family (KG semantic-loss) training step (reference
+    ``kg_models.py:53-70`` + ``text_base_model.py:24-64``), real model
+    path with synthetic 384-dim text features."""
+    from textgcn_tpu.models.text_loss import TextModelKG
+
+    model = TextModelKG(_bench_cfg('kg'), synth_text_data())
+    return _bench_train_step(model, steps)
+
+
 def bench_ltr_eval(n_eval_users=8192):
     """LTR fused-eval (collapsed-tower one-matmul scoring + masked top-k)
     users/s, real model path (reference materializes (B, n_items, F),
@@ -325,27 +375,9 @@ def bench_ltr_eval(n_eval_users=8192):
     import jax
     import jax.numpy as jnp
 
-    from textgcn_tpu.data.text import LTRData
     from textgcn_tpu.models.ltr import LTRLinear
 
-    base = synth_interactions()
-    rng = np.random.RandomState(1)
-    dim = 384
-
-    def t_feats(n):
-        return (rng.randn(n, dim) / np.sqrt(dim)).astype(np.float32)
-
-    data = LTRData(
-        **{f: getattr(base, f) for f in (
-            'n_users', 'n_items', 'n_train', 'n_test', 'graph',
-            'pos_padded', 'pos_degree', 'test_users', 'true_test',
-            'user_id_map', 'item_id_map', 'train_df', 'test_df',
-            'user_mapping', 'item_mapping')},
-        items_as_desc=t_feats(N_ITEMS),
-        items_as_avg_reviews=t_feats(N_ITEMS),
-        users_as_avg_reviews=t_feats(N_USERS),
-        users_as_avg_desc=t_feats(N_USERS), text_dim=dim)
-    model = LTRLinear(_bench_cfg('ltr_linear'), data)
+    model = LTRLinear(_bench_cfg('ltr_linear'), synth_text_data())
     params = model.init_params(jax.random.key(0))
     cap = model.captured_state()
     reprs = jax.jit(lambda p, cap: _bound_repr(model, p, cap))(params,
@@ -428,11 +460,14 @@ def main():
     jax_eps, jax_step = bench_jax(steps=args.steps)
     eval_ups = bench_eval_jax()
     adv_ms = adv_eps = ltr_ups = serving_ups = cached_eps = None
+    conv_ms = conv_eps = text_ms = text_eps = None
     if not args.skip_extras:
         adv_ms, adv_eps = bench_adv_jax()
         ltr_ups = bench_ltr_eval()
         serving_ups = bench_eval_jax(approx=0.95)
         cached_eps, _ = bench_jax(steps=args.steps, refresh=8)
+        conv_ms, conv_eps = bench_conv_jax()
+        text_ms, text_eps = bench_text_jax()
     if args.skip_baseline:
         torch_eps = eval_ups_t = None
     else:
@@ -460,6 +495,12 @@ def main():
             if serving_ups else None,
             'cached_train_examples_per_s_r8': round(cached_eps, 1)
             if cached_eps else None,
+            'conv_gcn_step_ms': round(conv_ms, 2) if conv_ms else None,
+            'conv_gcn_examples_per_s': round(conv_eps, 1)
+            if conv_eps else None,
+            'text_kg_step_ms': round(text_ms, 2) if text_ms else None,
+            'text_kg_examples_per_s': round(text_eps, 1)
+            if text_eps else None,
             'device': str(jax.devices()[0]),
             'n_users': N_USERS, 'n_items': N_ITEMS,
             'batch': BATCH, 'emb': EMB, 'layers': LAYERS,

@@ -16,15 +16,95 @@ import numpy as np
 import pandas as pd
 
 
+def _generate_sharp(rng, n_users, n_items, k_clusters, ucl, items_by_cl):
+    """Vectorized high-signal generator: 95% own-cluster draws, Zipf
+    (rank^-1) popularity within each cluster, 12-24 interactions per
+    user, 2 own-cluster pairs per user held out."""
+    n_inter = rng.randint(12, 25, n_users)
+    n_own = np.maximum((n_inter * 0.95).astype(int), 3)
+    n_ext = n_inter - n_own
+
+    u_own = np.repeat(np.arange(n_users), n_own)
+    i_own = np.empty(len(u_own), np.int64)
+    cl_of_draw = ucl[u_own]
+    for c in range(k_clusters):
+        m = cl_of_draw == c
+        pool = items_by_cl[c]
+        if len(pool):
+            w = 1.0 / np.arange(1, len(pool) + 1)  # Zipf over cluster rank
+            i_own[m] = pool[rng.choice(len(pool), int(m.sum()),
+                                       p=w / w.sum())]
+        else:
+            i_own[m] = rng.randint(0, n_items, int(m.sum()))
+    u_ext = np.repeat(np.arange(n_users), n_ext)
+    i_ext = rng.randint(0, n_items, len(u_ext))
+
+    u_all = np.concatenate([u_own, u_ext])
+    i_all = np.concatenate([i_own, i_ext])
+    own = np.concatenate([np.ones(len(u_own), bool),
+                          np.zeros(len(u_ext), bool)])
+    # dedup (u, i), keeping the own tag if any duplicate was an own draw
+    order = np.lexsort((~own, i_all, u_all))
+    u_s, i_s, own_s = u_all[order], i_all[order], own[order]
+    first = np.ones(len(u_s), bool)
+    first[1:] = (u_s[1:] != u_s[:-1]) | (i_s[1:] != i_s[:-1])
+    u_s, i_s, own_s = u_s[first], i_s[first], own_s[first]
+
+    # hold out 2 OWN-cluster pairs per user (only when the user keeps
+    # >= 2 own pairs in train, so the cluster stays identifiable):
+    # shuffle, then stable-sort by user -> within-user order is random
+    shuf = rng.permutation(len(u_s))
+    srt = shuf[np.argsort(u_s[shuf], kind='stable')]
+    u_p, i_p, own_p = u_s[srt], i_s[srt], own_s[srt]
+    starts = np.searchsorted(u_p, np.arange(n_users))
+    counts = np.diff(np.append(starts, len(u_p)))
+    own_rank = _cumcount_where(u_p, own_p, starts)
+    own_total = np.zeros(n_users, np.int64)
+    np.add.at(own_total, u_p[own_p], 1)
+    is_test = own_p & (own_rank < 2) & (own_total[u_p] >= 4) \
+        & (counts[u_p] >= 5)
+
+    def to_df(u, i):
+        return pd.DataFrame({
+            'user_id': 'u' + pd.Series(u).astype(str),
+            'asin': 'i' + pd.Series(i).astype(str)})
+
+    return to_df(u_p[~is_test], i_p[~is_test]), \
+        to_df(u_p[is_test], i_p[is_test])
+
+
+def _cumcount_where(users_sorted, flag, starts):
+    """Rank of each flagged row among its user's flagged rows (rows
+    sorted by user; unflagged rows get a large rank)."""
+    csum = np.cumsum(flag)
+    base = np.zeros(len(flag), np.int64)
+    base = csum - np.where(flag, 1, 0)
+    per_user_base = csum[starts] - flag[starts]
+    rank = base - per_user_base[users_sorted]
+    return np.where(flag, rank, 1 << 30)
+
+
 def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
-             k_clusters: int = 20, seed: int = 0):
+             k_clusters: int = 20, seed: int = 0, sharp: bool = False):
+    """``sharp=True`` is the high-signal quality instrument (VERDICT r2):
+    ~50-item clusters, 95% own-cluster interactions, Zipf popularity
+    inside each cluster, and the held-out pairs drawn from the
+    *own-cluster* interactions only — so the learnable ceiling is high
+    and model separation (lgcn vs ltr vs cached) is measurable above
+    seed noise.  Default (sharp=False) regenerates existing datasets
+    byte-identically."""
     rng = np.random.RandomState(seed)
+    if sharp:
+        k_clusters = max(20, n_items // 50)
     ucl = rng.randint(0, k_clusters, n_users)
     icl = rng.randint(0, k_clusters, n_items)
     items_by_cl = [np.where(icl == c)[0] for c in range(k_clusters)]
     all_items = np.arange(n_items)
 
-    if n_users <= 100_000:
+    if sharp:
+        train, test = _generate_sharp(rng, n_users, n_items, k_clusters,
+                                      ucl, items_by_cl)
+    elif n_users <= 100_000:
         # original per-user loop (kept so existing datasets regenerate
         # byte-identically under the same seed)
         rows = []
@@ -138,8 +218,10 @@ def generate(out_dir: str, n_users: int = 5000, n_items: int = 2000,
 
 
 if __name__ == '__main__':
-    out = sys.argv[1] if len(sys.argv) > 1 else 'data/synthetic'
-    n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-    n_items = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
-    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-    generate(out, n_users, n_items, seed=seed)
+    argv = [a for a in sys.argv[1:] if a != '--sharp']
+    sharp = '--sharp' in sys.argv[1:]
+    out = argv[0] if len(argv) > 0 else 'data/synthetic'
+    n_users = int(argv[1]) if len(argv) > 1 else 5000
+    n_items = int(argv[2]) if len(argv) > 2 else 2000
+    seed = int(argv[3]) if len(argv) > 3 else 0
+    generate(out, n_users, n_items, seed=seed, sharp=sharp)
