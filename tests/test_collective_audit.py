@@ -51,6 +51,19 @@ def test_ltr_head_adds_no_collectives(audits):
     assert ltr['train_step']['bytes'] <= lg['train_step']['bytes'] * 1.01
 
 
+def test_cached_ego_step_is_nearly_communication_free(audits):
+    """Cached mode's measured structure (SCALING.md §4): the full
+    propagation (and its table-shaped collectives) rides the refresh —
+    once per N steps — while the ego-only step between refreshes moves
+    only scalars.  Numerical mesh-vs-single equivalence of the ego step
+    is covered by the trainer equivalence tests; this pins the BYTES."""
+    a = audits['lgcn']
+    assert 'cached_refresh' in a and 'cached_ego_step' in a
+    assert a['cached_ego_step']['bytes'] <= 1024, a['cached_ego_step']
+    # the refresh carries the propagation traffic (> the ego step)
+    assert a['cached_refresh']['bytes'] > a['cached_ego_step']['bytes']
+
+
 def test_collective_budget_is_table_shaped(audits, dummy_dir):
     """No single collective may exceed one full (padded) table pair, and
     the per-step total must stay within the SCALING.md byte model

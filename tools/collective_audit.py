@@ -149,6 +149,53 @@ def audit_eval_batch(mesh, model, batch_size: int, k: int,
     return summarize(parse_collectives(text))
 
 
+def audit_cached(mesh, model, optimizer, batch_size: int) -> dict:
+    """Lower the two components of cached-propagation training
+    (``--refresh_every N``): the refresh (full propagation of the
+    stale 'rest') and the ego-only train step that runs between
+    refreshes.  Amortized per-step bytes = ego + refresh / N."""
+    import jax
+
+    from textgcn_tpu.parallel.mesh import (DATA_AXIS, param_shardings,
+                                           shard_params)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = shard_params(mesh, model.init_params(jax.random.key(0)))
+    opt_state = optimizer.init(params)
+    cap = model.captured_state()
+
+    def refresh(params, key, captured):
+        with model.bound(captured):
+            return model.propagate_rest(params, key)
+
+    r_text = _compiled_text(jax.jit(refresh), params, jax.random.key(1),
+                            cap)
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def ego_step(params, opt_state, rest, batch, key, captured):
+        batch = tuple(
+            jax.lax.with_sharding_constraint(b, batch_sh) for b in batch)
+        with model.bound(captured), model.with_cached_rest(rest):
+            (loss, _), grads = jax.value_and_grad(
+                model.loss, has_aux=True)(params, batch, key)
+        grads = jax.lax.with_sharding_constraint(
+            grads, param_shardings(mesh, grads))
+        import optax
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    with model.bound(cap):
+        rest = jax.jit(refresh)(params, jax.random.key(1), cap)
+        batch = jax.tree.map(
+            lambda x: x[0], model.sample_batches(jax.random.key(2),
+                                                 batch_size))
+    e_text = _compiled_text(jax.jit(ego_step), params, opt_state, rest,
+                            tuple(batch), jax.random.key(3), cap)
+    return {'refresh': summarize(parse_collectives(r_text)),
+            'ego_step': summarize(parse_collectives(e_text))}
+
+
 def audit_model(mesh, cfg, data, model, k: int | None = None) -> dict:
     """Full audit for one model: train-step + eval-batch collective
     tables.  The model must already be mesh-sharded (``shard_model``)."""
@@ -173,6 +220,12 @@ def audit_model(mesh, cfg, data, model, k: int | None = None) -> dict:
         # plain lowering in the JSON so that claim stays regression-checked.
         out['eval_batch_plain'] = audit_eval_batch(
             mesh, model, cfg.batch_size, k, fused=False)
+    if getattr(model, 'supports_cached_propagation', False) \
+            and cfg.n_layers > 0:
+        cached = audit_cached(mesh, model, optax.adam(cfg.lr),
+                              cfg.batch_size)
+        out['cached_refresh'] = cached['refresh']
+        out['cached_ego_step'] = cached['ego_step']
     return out
 
 
@@ -180,7 +233,8 @@ def format_audit(audit: dict) -> str:
     lines = [f"collective audit: model={audit['model']} "
              f"mesh={audit['mesh']} B={audit['batch_size']} "
              f"d={audit['emb_size']}"]
-    phases = ('train_step', 'eval_batch', 'eval_batch_plain')
+    phases = ('train_step', 'eval_batch', 'eval_batch_plain',
+              'cached_refresh', 'cached_ego_step')
     for phase in (p for p in phases if p in audit):
         s = audit[phase]
         lines.append(f"  {phase}: {s['count']} collectives, "
