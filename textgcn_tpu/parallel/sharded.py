@@ -18,16 +18,13 @@ equivalent, reference ``base_model.py:261``).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.retrieval import mask_train_items
-from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, param_shardings, \
-    replicated
+from .mesh import DATA_AXIS, MODEL_AXIS, param_shardings
 
 
 def make_sharded_train_step(mesh, model, optimizer):
@@ -69,45 +66,6 @@ def make_sharded_train_step(mesh, model, optimizer):
                       model.captured_state())
 
     run.jitted = jitted  # exposed for HLO audits (tools/collective_audit)
-    return run
-
-
-def make_sharded_epoch_fn(mesh, model, optimizer, batch_size: int,
-                          n_batches: int):
-    """Whole-epoch jitted scan, mesh-sharded: the multi-chip analogue of
-    Trainer._make_epoch_fn.  Batch arrays are constrained over `data`."""
-    b_sh = batch_sharding(mesh)
-    repl = replicated(mesh)
-
-    def epoch(params, opt_state, key, captured):
-        with model.bound(captured):
-            k_sample, k_drop = jax.random.split(key)
-            batches = model.sample_batches(k_sample, batch_size)
-            batches = tuple(
-                jax.lax.with_sharding_constraint(b, b_sh) for b in batches)
-            drop_keys = jax.random.split(k_drop, n_batches)
-
-            def step(carry, xs):
-                params, opt_state = carry
-                *batch, dk = xs
-                (loss, aux), grads = jax.value_and_grad(
-                    model.loss, has_aux=True)(params, tuple(batch), dk)
-                grads = jax.lax.with_sharding_constraint(
-                    grads, param_shardings(mesh, grads))  # see train step
-                updates, opt_state = optimizer.update(grads, opt_state,
-                                                      params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (*batches, drop_keys))
-        return params, opt_state, losses.sum()
-
-    jitted = jax.jit(epoch, donate_argnums=(0, 1))
-
-    def run(params, opt_state, key):
-        return jitted(params, opt_state, key, model.captured_state())
-
     return run
 
 

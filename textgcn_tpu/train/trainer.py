@@ -186,6 +186,14 @@ class Trainer:
                         (loss, aux), grads = jax.value_and_grad(
                             model.loss, has_aux=True)(params, tuple(batch),
                                                       dk)
+                    if self.mesh is not None:
+                        # constrain grads to the params' row-sharding
+                        # BEFORE the update so the backward psum can
+                        # reduce-scatter straight to each device's table
+                        # rows (docs/SCALING.md lever 1)
+                        from ..parallel.mesh import param_shardings
+                        grads = jax.lax.with_sharding_constraint(
+                            grads, param_shardings(self.mesh, grads))
                     updates, opt_state = self.optimizer.update(
                         grads, opt_state, params)
                     params = optax.apply_updates(params, updates)

@@ -68,14 +68,25 @@ def _shape_bytes(shape_str: str) -> int:
 
 def parse_collectives(hlo_text: str) -> list[dict]:
     """All collective ops in a compiled HLO module: op kind, result
-    shape, and result bytes (per participating device)."""
+    shape, and result bytes (per participating device).
+
+    Async ``-start`` ops carry a tuple of (operand buffers, result
+    buffers, context); summing the tuple would double-count relative to
+    a sync op, so only the largest element (the gathered/reduced result)
+    is charged.  ``-done`` ops are skipped entirely (charged at -start).
+    """
     out = []
     for m in _OP_RE.finditer(hlo_text):
         if m.group('suffix') == '-done':
             continue
         shape = m.group('shape')
-        out.append({'op': m.group('op'), 'shape': shape,
-                    'bytes': _shape_bytes(shape)})
+        if m.group('suffix') == '-start' and shape.startswith('('):
+            nbytes = max((_shape_bytes(f'{d}[{dims}]')
+                          for d, dims in _SHAPE_RE.findall(shape)),
+                         default=0)
+        else:
+            nbytes = _shape_bytes(shape)
+        out.append({'op': m.group('op'), 'shape': shape, 'bytes': nbytes})
     return out
 
 
@@ -281,9 +292,15 @@ def main(argv=None):
     p.add_argument('--json', action='store_true')
     args = p.parse_args(argv)
 
-    os.environ.setdefault(
-        'XLA_FLAGS',
-        f'--xla_force_host_platform_device_count={args.devices}')
+    # append (don't replace) so a pre-set XLA_FLAGS can't silently drop
+    # the virtual-device count and shrink the mesh to 1x1 (conftest.py
+    # uses the same pattern)
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags
+            + f' --xla_force_host_platform_device_count={args.devices}'
+        ).strip()
     import jax
     jax.config.update('jax_platforms', 'cpu')
 

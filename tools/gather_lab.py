@@ -54,6 +54,19 @@ def make_onehot(ids_sorted: np.ndarray):
     each grid step touches ONE (SB, D) x block; the (C, SB) one-hot
     matmul selects its rows.  x enters VMEM through the normal Pallas
     pipeline (block index map driven by the prefetched block ids)."""
+    # group ids by source block and pad each block's run to a multiple of
+    # C (repeating the block's first id, <1% extra slots) so no chunk
+    # straddles a block boundary — every chunk's local ids really index
+    # its own x block and the gathered rows are correct, not just
+    # shape-correct
+    blocks = ids_sorted // SB
+    runs = []
+    for b in np.unique(blocks):
+        grp = ids_sorted[blocks == b]
+        pad = (-len(grp)) % C
+        runs.append(np.concatenate(
+            [grp, np.full(pad, grp[0], grp.dtype)]))
+    ids_sorted = np.concatenate(runs)
     n_chunks = len(ids_sorted) // C
     sb_of_chunk = (ids_sorted.reshape(n_chunks, C)[:, 0] // SB).astype(
         np.int32)

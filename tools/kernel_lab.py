@@ -31,10 +31,13 @@ def chain_time(call, x, n1=4, n2=14, reps=3):
     def chain(n):
         @jax.jit
         def f(x):
+            dt = x.dtype  # keep every link at the INPUT dtype: the f32
+            # `out` would otherwise promote x after link 1 and the
+            # measured links would all run f32 regardless of the x fed in
             acc = jnp.float32(0)
             for _ in range(n):
                 out = call(x)
-                x = x + out[:x.shape[0]].sum() * 1e-12
+                x = (x + out[:x.shape[0]].sum() * 1e-12).astype(dt)
                 acc += out.sum()
             return acc
         return f
@@ -102,8 +105,11 @@ def make_variant(mode, precision):
                 if mode == 'no_gather':
                     rows = xb[:C, :] * w_ref[0, j, :][:, None]
                 else:
+                    # gather one-hot in x's dtype, matching production
+                    # (ops/pallas_spmm.py) — f32 one-hots against bf16 x
+                    # would time a mixed-precision dot production never runs
                     s_g = (src_local[:, None] == jax.lax.broadcasted_iota(
-                        jnp.int32, (C, SB), 1)).astype(jnp.float32)
+                        jnp.int32, (C, SB), 1)).astype(xb.dtype)
                     rows = jnp.dot(s_g, xb, precision=precision,
                                    preferred_element_type=jnp.float32)
                     rows = rows * w_ref[0, j, :][:, None]
