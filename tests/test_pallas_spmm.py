@@ -214,3 +214,16 @@ def test_default_bf16_x_within_tolerance(rng, dummy_data):
     b = np.asarray(dflt.to_user(x, wp[0]))
     scale = np.abs(a).max()
     np.testing.assert_allclose(a, b, atol=0.01 * scale)
+
+
+def test_xdtype_env_override(rng, monkeypatch):
+    """TEXTGCN_TPU_PALLAS_XDTYPE forces the kernel x dtype independently
+    of the precision flag (the measurement knob behind the SCALE.md
+    x-dtype experiments)."""
+    src, dst, w, ni, nu = _rand_graph(rng, e=500, ni=600, nu=400)
+    ni_t = -(-ni // SRC_BLOCK) * SRC_BLOCK
+    for env, want in (('f32', jnp.float32), ('bf16', jnp.bfloat16)):
+        monkeypatch.setenv('TEXTGCN_TPU_PALLAS_XDTYPE', env)
+        op = TiledSpMM(src, dst, w, ni_t, nu, 16, user_axis='dst',
+                       interpret=True)
+        assert op.x_dtype == jnp.dtype(want), (env, op.x_dtype)

@@ -534,9 +534,15 @@ class TiledSpMM:
         # — and it halves the per-split VMEM slice (half the source
         # splits, half the x HBM->VMEM traffic).  HIGHEST keeps f32.
         if x_dtype is None:
-            x_dtype = (jnp.bfloat16
-                       if PRECISION == jax.lax.Precision.DEFAULT
-                       else jnp.float32)
+            env_dt = _os.environ.get('TEXTGCN_TPU_PALLAS_XDTYPE', '')
+            if env_dt in ('f32', 'float32'):        # measurement override
+                x_dtype = jnp.float32
+            elif env_dt in ('bf16', 'bfloat16'):
+                x_dtype = jnp.bfloat16
+            else:
+                x_dtype = (jnp.bfloat16
+                           if PRECISION == jax.lax.Precision.DEFAULT
+                           else jnp.float32)
         self.x_dtype = jnp.dtype(x_dtype)
         if src_block is None or dst_block is None:
             sb_auto, db_auto = plan_tile_blocks(len(np.asarray(src)),

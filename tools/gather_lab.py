@@ -3,7 +3,7 @@
 VERDICT r2 asked for ONE measured gather-based variant beyond the
 one-hot family (docs/KERNEL.md roofline: an ideal row-gather engine
 would be HBM-bound at ~0.28 ms per 600k-edge direction vs the measured
-1.22 ms).  This lab isolates the gather stage both ways:
+1.43 ms).  This lab isolates the gather stage both ways:
 
 * ``onehot`` — the production formulation's gather stage: per chunk,
   a (C, SRC_BLOCK) one-hot MXU matmul selects the chunk's rows from a
@@ -17,9 +17,9 @@ nothing is DCE'd); the difference is purely the gather mechanism.
 Rows/ms for the ``dma`` mode is the measured upper bound for ANY
 per-edge-DMA SpMM on this hardware.
 
-Measured (v5e, round 3): onehot 321k rows/ms (1.87 ms / 600k rows,
+Measured (v5e, round 3): onehot 338k rows/ms (1.78 ms / 600k rows,
 d=64) vs dma 43k rows/ms (3.03 ms / 131k rows, d=128 — its best case).
-The DMA formulation loses 7.4x on the gather stage alone; details in
+The DMA formulation loses ~8x on the gather stage alone; details in
 SCALE.md ("Per-row async-DMA gather").
 
 Run on the real TPU:  python tools/gather_lab.py [onehot dma]
