@@ -183,8 +183,9 @@ def main():
         n_rows = N_ROWS if mode == 'onehot' else 131_072
         x = np.zeros((n_pad, d), np.float32)
         x[:N_SRC] = rng.randn(N_SRC, d)
-        # f32 throughout: the chain-difference harness promotes x to f32
-        # after the first link, and DMA src/dst dtypes must match
+        # f32 for BOTH modes (one varying factor; DMA src/dst dtypes
+        # must also match, and HBM row-DMAs of bf16 rows are not
+        # expressible at d=64 anyway)
         xj = jnp.asarray(x)
         ms = chain_time(call, xj)
         print(f'{mode:8s}: {ms:8.2f} ms / {n_rows:,} rows '
