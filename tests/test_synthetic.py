@@ -90,3 +90,45 @@ def test_sharp_zipf_popularity_skew(tmp_path):
         if len(grp) >= 10:
             ratios.append(grp.max() / max(grp.median(), 1))
     assert np.median(ratios) > 2.0
+
+
+def test_cold_mode_contract(tmp_path):
+    """``--cold`` instrument: every cold item has exactly one train
+    interaction, test users gain one own-cluster cold pair, no
+    train/test pair overlap, and item/review texts come from small
+    per-cluster template pools (shared sentences -> the hash stub
+    encoder maps a cluster to a handful of shared vectors)."""
+    out = str(tmp_path / 'cold')
+    generate(out, n_users=800, n_items=400, seed=0, sharp=True, cold=0.15)
+    tr, te, meta = _load(out)
+    icl = _item_cluster(meta)
+    with open(os.path.join(out, 'cold_items.txt')) as f:
+        cold = set(f.read().split())
+    assert len(cold) > 0
+
+    # exactly one train interaction per cold item, none held fully out
+    cold_counts = tr[tr.asin.isin(cold)].groupby('asin').size()
+    assert set(cold_counts.index) == cold
+    assert (cold_counts == 1).all()
+
+    # no (user, item) pair appears in both train and test
+    assert len(pd.merge(tr, te)) == 0
+
+    # most test users carry exactly one cold held-out pair, own-cluster
+    te_cold = te[te.asin.isin(cold)]
+    per_user = te_cold.groupby('user_id').size()
+    assert (per_user == 1).all()
+    assert len(per_user) >= 0.9 * te.user_id.nunique()
+    ucl = (tr.assign(cl=tr.asin.map(icl)).groupby('user_id').cl
+           .agg(lambda s: s.mode().iloc[0]))
+    assert (te_cold.asin.map(icl).to_numpy()
+            == ucl[te_cold.user_id].to_numpy()).all()
+
+    # pooled texts: each cluster's items use <= 4 distinct meta texts,
+    # and reviews use <= 6 distinct texts per cluster
+    meta_text = meta.title + ' ' + meta.description
+    per_cl = meta_text.groupby(meta.asin.map(icl)).nunique()
+    assert (per_cl <= 4).all()
+    rv = pd.read_csv(os.path.join(out, 'reviews_text.tsv'), sep='\t')
+    rv_cl = rv.asin.map(icl)
+    assert (rv.review.groupby(rv_cl).nunique() <= 6).all()
