@@ -1,0 +1,58 @@
+"""cold_report tool: warm/cold split evaluation over one checkpoint.
+
+The round-3 cold-start instrument (``make_synthetic.py --sharp --cold``)
+is paired with ``tools/cold_report.py``, which ranks once and scores the
+warm-item and cold-item halves of the holdout separately.  This pins the
+tool's contract: split keys, metric shapes, and the mixing identity
+between the splits and the combined numbers.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(repo, 'tools'))
+
+from make_synthetic import generate  # noqa: E402
+import cold_report  # noqa: E402
+
+
+@pytest.fixture()
+def cold_data(tmp_path):
+    out = str(tmp_path / 'data')
+    generate(out, n_users=300, n_items=200, seed=0, sharp=True, cold=0.2)
+    return out
+
+
+def test_cold_report_split_contract(cold_data, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from textgcn_tpu.cli import main as cli_main
+    base_args = ['--model', 'lgcn', '--data', cold_data,
+                 '--batch_size', '64', '--emb_size', '16',
+                 '--n_layers', '2', '-k', '3', '5', '--quiet']
+    cli_main(base_args + ['--epochs', '4', '--evaluate_every', '2',
+                          '--uid', 'base'])
+    run = os.path.join('runs', 'data', 'base')
+    assert os.path.exists(os.path.join(run, 'best.pkl'))
+
+    results = cold_report.main(
+        base_args + ['--load', run, '--uid', 'report'])
+
+    assert set(results) == {'all', 'warm', 'cold'}
+    for res in results.values():
+        for metric in ('recall', 'ndcg', 'precision', 'hit', 'f1'):
+            vals = np.asarray(res[metric], float)
+            assert vals.shape == (2,)            # one entry per k
+            assert np.all((0 <= vals) & (vals <= 1))
+
+    # the sharp+cold generator makes cold items near-invisible to a pure
+    # graph model: even 4 epochs in, warm recall must dominate cold by a
+    # wide margin, and the combined number sits below the warm split
+    # (nearly every test user carries one near-unrankable cold pair)
+    for ki in range(2):
+        r = {s: results[s]['recall'][ki] for s in results}
+        assert r['warm'] > r['cold'] + 0.05
+        assert r['all'] < r['warm']
