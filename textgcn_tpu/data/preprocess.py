@@ -37,9 +37,18 @@ _UNPRINTABLE = re.compile(f'[^{re.escape(_PRINTABLE)}]')
 _HTML_TAG = re.compile(r'<[^<]+?>')
 _WS = re.compile(r'[\s_]+')
 
-NA_VALUES = ['', '#N/A', '#N/A N/A', '#NA', '-1.#IND', '-1.#QNAN',
-             '-NaN', '-nan', '1.#IND', '1.#QNAN', '<NA>', 'N/A',
-             'NA', 'NULL', 'NaN', 'n/a', 'nan', 'null']
+# Strings that should read as missing after cleaning.  Mirrors pandas'
+# default read-time NA sentinels (the reference relies on the same set at
+# ``data/process_data.py``); grouped by family, materialized as a list
+# because ``DataFrame.replace`` wants one.
+_NA_FAMILIES = (
+    ('',),                                       # cleaned-to-empty text
+    ('NA', 'N/A', 'n/a', '<NA>', 'NULL', 'null'),
+    ('NaN', 'nan', '-NaN', '-nan'),
+    ('#NA', '#N/A', '#N/A N/A'),                 # spreadsheet errors
+    ('1.#IND', '-1.#IND', '1.#QNAN', '-1.#QNAN'),
+)
+NA_VALUES = [s for family in _NA_FAMILIES for s in family]
 
 
 def clean_text(s) -> str:
@@ -85,14 +94,21 @@ def process_metadata(path: str) -> pd.DataFrame:
 
 def core_n(df: pd.DataFrame, n: int = 5,
            columns=('asin', 'user_id')) -> pd.DataFrame:
-    """Iterated n-core filter (reference ``process_data.py:140-156``)."""
+    """Prune rows until every value in each key column occurs >= n times.
+
+    Dropping a sparse user can push an item below the threshold and vice
+    versa, so the filter runs to a fixpoint.  The n-core of the bipartite
+    interaction graph is unique (peeling order does not matter), so one
+    combined keep-mask per pass converges to the same subgraph as the
+    reference's sequential per-column peel (``data/process_data.py:140-156``).
+    """
     while True:
-        shape = df.shape
-        for c in columns:
-            vc = df[c].value_counts()
-            df = df[df[c].isin(vc[vc >= n].index)]
-        if df.shape == shape:
+        keep = pd.Series(True, index=df.index)
+        for col in columns:
+            keep &= df.groupby(col)[col].transform('size') >= n
+        if keep.all():
             return df
+        df = df[keep]
 
 
 def process_reviews(path: str, available_asins: set) -> pd.DataFrame:
@@ -114,21 +130,24 @@ def process_reviews(path: str, available_asins: set) -> pd.DataFrame:
     return df.dropna().reset_index(drop=True)
 
 
-def intersect(df1, df2, column='asin'):
-    common = set(df1[column]) & set(df2[column])
-    return df1[df1[column].isin(common)], df2[df2[column].isin(common)]
-
-
 def sync(meta: pd.DataFrame, reviews: pd.DataFrame, n: int = 1):
-    """Iterate core-n + intersect to fixpoint (reference
-    ``process_data.py:158-171``)."""
-    if n == 1:
-        return intersect(meta, reviews)
+    """Restrict meta and reviews to a shared asin universe on which the
+    reviews also satisfy the n-core.
+
+    Intersecting the asin sets can break the core property and re-coring
+    can shrink the asin set, so the two steps alternate until a pass
+    removes nothing.  Capability match for reference
+    ``data/process_data.py:158-171`` (n=1 degenerates to one intersection,
+    which is idempotent, so the loop form covers it too).
+    """
     while True:
-        r_shape, m_shape = reviews.shape, meta.shape
-        reviews = core_n(reviews, n)
-        meta, reviews = intersect(meta, reviews)
-        if reviews.shape == r_shape and meta.shape == m_shape:
+        rows_before = len(meta) + len(reviews)
+        if n > 1:
+            reviews = core_n(reviews, n)
+        shared = set(meta['asin']).intersection(reviews['asin'])
+        meta = meta[meta['asin'].isin(shared)]
+        reviews = reviews[reviews['asin'].isin(shared)]
+        if len(meta) + len(reviews) == rows_before:
             return meta, reviews
 
 
@@ -168,11 +187,15 @@ def main(argv=None):
     train.to_csv(os.path.join(domain, 'train.tsv'), sep='\t', index=False)
     test.to_csv(os.path.join(domain, 'test.tsv'), sep='\t', index=False)
 
-    print(f'reviews: {reviews.shape[0]:>7}')
-    print(f'users:   {reviews.user_id.nunique():>7}')
-    print(f'items:   {reviews.asin.nunique():>7}')
-    print(f'train:   {train.shape[0]:>7}')
-    print(f'test:    {test.shape[0]:>7}')
+    summary = {
+        'reviews': len(reviews),
+        'users': reviews['user_id'].nunique(),
+        'items': reviews['asin'].nunique(),
+        'train': len(train),
+        'test': len(test),
+    }
+    for name, count in summary.items():
+        print(f'{name + ":":<9}{count:>7}')
 
 
 if __name__ == '__main__':
