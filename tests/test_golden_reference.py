@@ -233,3 +233,81 @@ def test_ltr_linear_golden_parity(syn_dir, ref_trained, mine_trained,
             np.asarray(my_metrics[m], np.float64),
             np.asarray(ref_vals, np.float64), atol=0.08,
             err_msg=f'ltr_linear {m} diverges from the executed reference')
+
+
+def test_adv_sampling_golden_parity(syn_dir, tmp_path_factory,
+                                    monkeypatch):
+    """Dynamic hard-negative sampling (advanced_sampling.py): both
+    frameworks train 30 epochs from seed 0; converged quality must
+    agree.  The reference's per-user Python selection loop and this
+    framework's vectorized masked-top-k are different algorithms with
+    the same contract (hardest non-positive candidates)."""
+    work = str(tmp_path_factory.mktemp('golden_adv_ref'))
+    args, dataset, loader, net = build_reference(
+        syn_dir, work, model='adv_sampling', seed=SEED, k=K, epochs=30,
+        evaluate_every=30)
+    cwd = os.getcwd()
+    os.chdir(work)
+    try:
+        net.fit(loader)
+    finally:
+        os.chdir(cwd)
+    ref_metrics = {m: h[-1] for m, h in net.metrics_logger.items()}
+
+    cfg = _make_cfg(syn_dir, str(tmp_path_factory.mktemp('golden_adv')),
+                    model='adv_sampling', epochs=30, evaluate_every=30)
+    from textgcn_tpu.models.adv_sampling import AdvSamplModel
+    data = load_interactions(cfg.data)
+    trainer = Trainer(cfg, AdvSamplModel(cfg, data), data)
+    trainer.fit()
+    my_metrics = {m: h[-1] for m, h in trainer.metrics_logger.items()}
+
+    for m, ref_vals in ref_metrics.items():
+        np.testing.assert_allclose(
+            np.asarray(my_metrics[m], np.float64),
+            np.asarray(ref_vals, np.float64), atol=0.08,
+            err_msg=f'adv_sampling {m} diverges from the executed '
+                    'reference')
+
+
+def test_ltr_pop_golden_parity(syn_dir, ref_trained, mine_trained,
+                               tmp_path_factory, monkeypatch):
+    """ltr_pop against the executed reference — which exercises the
+    reference's popularity quirk (Q2: `_calc_popularity` divides user
+    ids, not counts, reviews_models.py:102-113) for real.  This
+    framework runs with --popularity_mode compat to reproduce it."""
+    from golden_reference import seed_reference_text_caches
+    from textgcn_tpu.cli import main as cli_main
+
+    ref_args, _ = ref_trained
+    my_cfg, _ = mine_trained
+    seed_reference_text_caches(syn_dir, bert_model='all-MiniLM-L6-v2',
+                               seed=SEED)
+
+    work = str(tmp_path_factory.mktemp('golden_pop_ref'))
+    args, dataset, loader, net = build_reference(
+        syn_dir, work, model='ltr_pop', seed=SEED, k=K, epochs=500,
+        evaluate_every=100,
+        extra=['--load_base', ref_args.save_path, '--freeze'])
+    cwd = os.getcwd()
+    os.chdir(work)
+    try:
+        net.fit(loader)
+    finally:
+        os.chdir(cwd)
+    ref_metrics = {m: h[-1] for m, h in net.metrics_logger.items()}
+
+    monkeypatch.chdir(str(tmp_path_factory.mktemp('golden_pop_mine')))
+    trainer = cli_main([
+        '--model', 'ltr_pop', '--data', syn_dir, '--epochs', '30',
+        '--evaluate_every', '30', '--batch_size', '2048', '--seed',
+        str(SEED), '-k'] + [str(x) for x in K] + [
+        '--load_base', my_cfg.save_path, '--freeze',
+        '--popularity_mode', 'compat', '--uid', 'golden-pop'])
+    my_metrics = {m: h[-1] for m, h in trainer.metrics_logger.items()}
+
+    for m, ref_vals in ref_metrics.items():
+        np.testing.assert_allclose(
+            np.asarray(my_metrics[m], np.float64),
+            np.asarray(ref_vals, np.float64), atol=0.08,
+            err_msg=f'ltr_pop {m} diverges from the executed reference')
