@@ -59,9 +59,46 @@ def test_cached_ego_step_is_nearly_communication_free(audits):
     is covered by the trainer equivalence tests; this pins the BYTES."""
     a = audits['lgcn']
     assert 'cached_refresh' in a and 'cached_ego_step' in a
-    assert a['cached_ego_step']['bytes'] <= 1024, a['cached_ego_step']
-    # the refresh carries the propagation traffic (> the ego step)
-    assert a['cached_refresh']['bytes'] > a['cached_ego_step']['bytes']
+    # batch-shaped only: with tables sharded over the full mesh the ego
+    # lookups gather (B, d) rows cross-device — a few KB that do NOT
+    # scale with the graph — plus the scalar loss all-reduce.  Table-
+    # shaped traffic (rows x d x 4 per table) must stay out.
+    batch_rows = 16 * 16 * 4          # B=16, d=16, f32 (audit fixture)
+    assert a['cached_ego_step']['bytes'] <= 8 * batch_rows + 1024, \
+        a['cached_ego_step']
+    # the refresh carries ALL the propagation traffic (6 table-shaped
+    # reduce-scatters: 3 layers x 2 directions); the ego step carries
+    # none
+    refresh_ops = a['cached_refresh']['by_op']
+    assert refresh_ops.get('reduce-scatter', {}).get('count', 0) == 6, \
+        refresh_ops
+    ego_ops = a['cached_ego_step']['by_op']
+    assert 'reduce-scatter' not in ego_ops, ego_ops
+
+
+def test_propagation_reduces_via_reduce_scatter(audits, dummy_dir):
+    """SCALING.md lever 1, regression-guarded: the explicit shard_map
+    propagation (parallel/xla_sharded.py) must combine its partial sums
+    with reduce-scatter, leaving NO table-shaped all-reduce in the train
+    step.  (Measured at S1 this cut per-step collective volume 222.6 ->
+    19.5 MB/device.)"""
+    from textgcn_tpu.data.core import load_interactions
+    data = load_interactions(str(dummy_dir))
+    table_rows = min(-(-data.n_users // 8) * 8, -(-data.n_items // 8) * 8)
+    table_bytes = table_rows * 16 * 4          # smaller padded table, f32
+    for name in ('lgcn', 'ltr_linear'):
+        step = audits[name]['train_step']['by_op']
+        # 3 layers x 2 directions, forward + backward
+        assert step.get('reduce-scatter', {}).get('count', 0) == 12, step
+        # any surviving all-reduce must be scalar-shaped (loss/nan), not
+        # table-shaped
+        assert step.get('all-reduce', {}).get('bytes', 0) < table_bytes, \
+            step
+        # all-gathers are batch-shaped ego lookups (B x d rows), never a
+        # full-table re-materialization
+        b_times_d = 16 * 16 * 4                # audit fixture B=16, d=16
+        assert step.get('all-gather', {}).get('bytes', 0) <= \
+            16 * b_times_d, step
 
 
 def test_collective_budget_is_table_shaped(audits, dummy_dir):

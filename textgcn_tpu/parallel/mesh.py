@@ -74,9 +74,17 @@ def make_mesh(shape: tuple[int, int] | None = None,
 # --- canonical shardings ----------------------------------------------------
 
 def param_shardings(mesh: Mesh, params):
-    """Embedding tables row-sharded over `model`; everything else
-    (LTR tower etc.) replicated."""
-    table = NamedSharding(mesh, P(MODEL_AXIS, None))
+    """Embedding tables row-sharded over the FULL mesh (model-major);
+    everything else (LTR tower etc.) replicated.
+
+    Sharding tables over both axes (not just `model`) does two things:
+    per-chip table memory drops by the data-axis size too, and — with
+    the explicit reduce-scatter propagation (xla_sharded.py /
+    pallas_sharded.py) — the backward's row-sharded table gradient is
+    ALREADY in this sharding, so the Adam update adds zero collectives
+    (SCALING.md lever 1).  Model-major order means a P('model')-sharded
+    array reshards into this layout as a local slice."""
+    table = NamedSharding(mesh, P((MODEL_AXIS, DATA_AXIS), None))
     repl = NamedSharding(mesh, P())
 
     def pick(path, _):
@@ -135,13 +143,25 @@ def shard_model(mesh: Mesh, model, propagation: str = 'auto'):
             model.cfg.emb_size, mesh)
         model.backend = 'pallas_mesh'
     else:
-        from ..ops.spmm import BipartiteGraphOp
-        model.backend = 'xla'
-        model.graph_op = BipartiteGraphOp(
-            eu, ei, w, model.n_users_t, model.n_items_t,
-            pad_multiple=mesh.size)
-        edge_sh = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
-        model.graph_op.put({k: edge_sh for k in model.graph_op.arrays})
+        from .xla_sharded import MeshXlaGraphOp
+        if MeshXlaGraphOp.supports(model.n_users_t, model.n_items_t,
+                                   mesh.size):
+            # explicit shard_map segment-sum: fwd/bwd partial sums
+            # combine with reduce-scatter, not GSPMD all-reduce
+            # (SCALING.md lever 1)
+            model.backend = 'xla_mesh'
+            model.graph_op = MeshXlaGraphOp(
+                eu, ei, w, model.n_users_t, model.n_items_t, mesh)
+        else:
+            # tables don't divide the mesh evenly: GSPMD-partitioned
+            # segment-sum fallback (edge arrays explicitly sharded)
+            from ..ops.spmm import BipartiteGraphOp
+            model.backend = 'xla'
+            model.graph_op = BipartiteGraphOp(
+                eu, ei, w, model.n_users_t, model.n_items_t,
+                pad_multiple=mesh.size)
+            edge_sh = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+            model.graph_op.put({k: edge_sh for k in model.graph_op.arrays})
     repl = replicated(mesh)
     model.pos_padded = jax.device_put(model.pos_padded, repl)
     model.pos_degree = jax.device_put(model.pos_degree, repl)

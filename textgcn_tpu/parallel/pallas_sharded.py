@@ -191,7 +191,11 @@ class MeshPallasGraphOp:
         self.mesh = mesh
         self.interpret = interpret
         self.x_dtype = jnp.dtype(x_dtype or self._default_x_dtype())
-        self.axes = tuple(mesh.axis_names)
+        # model-major flat device order: a P('model')- or
+        # P(('model','data'))-sharded table reshards into the kernel's
+        # source slice locally, with zero communication (SCALING.md
+        # lever 1; mesh axis_names order is (data, model))
+        self.axes = tuple(reversed(mesh.axis_names))
         n_dev = mesh.size
         eu = np.asarray(edge_user)
         ei = np.asarray(edge_item)
@@ -234,14 +238,21 @@ class MeshPallasGraphOp:
                 max_groups=layout.max_groups,
                 src_block=layout.src_block, dst_block=layout.dst_block,
                 interpret=interpret)
-            return jax.lax.psum(out[:layout.n_dst], axes)
+            # reduce-scatter, not all-reduce: every consumer of the
+            # combined output is row-sharded in exactly this layout —
+            # the next layer's source slice, the transpose (backward)
+            # kernel's input, and the table-gradient's Adam update
+            # (SCALING.md lever 1: 1x transfer instead of 2x, and the
+            # full-table re-gathers disappear)
+            return jax.lax.psum_scatter(out[:layout.n_dst], axes,
+                                        scatter_dimension=0, tiled=True)
 
         fn = jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P(self.axes), P(self.axes), P(self.axes),
                       P(self.axes), P(self.axes), P(self.axes),
                       P(self.axes), P(), P()),
-            out_specs=P(),
+            out_specs=P(self.axes),
             check_vma=False)
         return fn(*layout.arrays()[:4], layout.dst_ids, layout.src_ids,
                   x, salt, keep)

@@ -96,8 +96,17 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
         approx = env_recall()
     use_approx = 0.0 < approx < 1.0
 
+    # catalog over the FULL mesh when the row count divides it (matching
+    # param_shardings' model-major table layout, so propagated item
+    # tables feed in as local slices); `model`-only otherwise
+    catalog_axes = ((MODEL_AXIS, DATA_AXIS)
+                    if n_items % mesh.size == 0 else (MODEL_AXIS,))
+    n_data = mesh.shape[DATA_AXIS]
+
     def local(users_emb, items_shard, pos_padded):
         shard_idx = jax.lax.axis_index(MODEL_AXIS)
+        if len(catalog_axes) == 2:   # model-major flat shard index
+            shard_idx = shard_idx * n_data + jax.lax.axis_index(DATA_AXIS)
         shard_size = items_shard.shape[0]
         offset = shard_idx * shard_size
         # serving mode emits bf16 local scores — the per-shard batch is
@@ -125,8 +134,8 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
             vals, idx = jax.lax.top_k(scores, kk)
         idx = idx + offset
         # gather candidates from all shards and merge
-        all_vals = jax.lax.all_gather(vals, MODEL_AXIS)   # (S, B, k)
-        all_idx = jax.lax.all_gather(idx, MODEL_AXIS)
+        all_vals = jax.lax.all_gather(vals, catalog_axes)   # (S, B, k)
+        all_idx = jax.lax.all_gather(idx, catalog_axes)
         s, b, kk = all_vals.shape
         flat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, s * kk)
         flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, s * kk)
@@ -136,7 +145,7 @@ def sharded_topk(mesh, users_emb, items_emb, batch_pos_padded, k: int,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None), P()),
+        in_specs=(P(), P(catalog_axes, None), P()),
         out_specs=(P(), P()),
         check_vma=False)
     return fn(users_emb, items_emb, batch_pos_padded)
