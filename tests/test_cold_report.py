@@ -51,8 +51,10 @@ def test_cold_report_split_contract(cold_data, tmp_path, monkeypatch):
     # the sharp+cold generator makes cold items near-invisible to a pure
     # graph model: even 4 epochs in, warm recall must dominate cold by a
     # wide margin, and the combined number sits below the warm split
-    # (nearly every test user carries one near-unrankable cold pair)
+    # (nearly every test user carries one near-unrankable cold pair).
+    # The margin is RELATIVE to the observed warm recall so the assertion
+    # tracks the structural separation, not a particular training default.
     for ki in range(2):
         r = {s: results[s]['recall'][ki] for s in results}
-        assert r['warm'] > r['cold'] + 0.05
+        assert r['warm'] > 2.0 * r['cold'], r
         assert r['all'] < r['warm']
