@@ -190,6 +190,73 @@ def test_conv_e2e_train(tmp_path, dummy_dir, name):
         assert changed.max() > 0
 
 
+@pytest.mark.parametrize('name,aggr', [('gcn', 'mean'),
+                                       ('graphsage', 'mean'),
+                                       ('graphsage', 'sum')])
+def test_conv_kernel_path_matches_segment_path(tmp_path, dummy_dir, name,
+                                               aggr, monkeypatch):
+    """The tiled-MXU-kernel conv propagation (models/conv.py
+    ``_kernel_representation``, interpret mode) reproduces the
+    oracle-tested segment-op formulation — forward and gradients, with
+    and without edge dropout (same hash masks)."""
+    from textgcn_tpu.ops.pallas_spmm import edge_dropout_scale
+
+    monkeypatch.setenv('TEXTGCN_TPU_PALLAS', 'interpret')
+    # f32 kernel input for a tight tolerance (interpret mode runs DEFAULT
+    # precision as exact f32 on CPU, but the default x_dtype is bf16)
+    monkeypatch.setenv('TEXTGCN_TPU_PALLAS_XDTYPE', 'f32')
+
+    cfg = make_cfg(tmp_path, dummy_dir, model=name, aggr=aggr, n_layers=2,
+                   dropout=0.4)
+    data = load_interactions(cfg.data)
+    km = ConvModel(cfg, data)
+    assert km._use_kernel()
+    params = km.init_params(jax.random.PRNGKey(1))
+    g = data.graph
+    eu, ei = jnp.asarray(g.edge_user), jnp.asarray(g.edge_item)
+    w = jnp.asarray(g.edge_weight, jnp.float32)
+
+    def segment_repr(params, m_u, m_i):
+        u, i = params['user_emb'], params['item_emb']
+        acc_u, acc_i = u, i
+        for lp in params['convs']:
+            u, i = conv_layer(lp, name, aggr, u, i, eu, ei, m_u, m_i, w)
+            acc_u, acc_i = acc_u + u, acc_i + i
+        inv = 1.0 / (cfg.n_layers + 1)
+        return acc_u * inv, acc_i * inv
+
+    ones = jnp.ones(eu.shape, jnp.float32)
+    for train in (False, True):
+        key = jax.random.PRNGKey(7)
+        if train:
+            # masks the kernel path will draw (PallasGraphOp.weights)
+            salts = jax.random.bits(key, (2,), jnp.uint32)
+            keep = jnp.float32(1.0 - cfg.dropout)
+            m_u = (edge_dropout_scale(eu, ei, salts[0], keep)
+                   > 0).astype(jnp.float32)
+            m_i = (edge_dropout_scale(eu, ei, salts[1], keep)
+                   > 0).astype(jnp.float32)
+            assert 0 < float(m_u.sum()) < eu.shape[0]  # mask is real
+        else:
+            m_u = m_i = ones
+
+        def k_loss(p):
+            u, i = km.representation(p, training=train, dropout_key=key)
+            return (u * u).sum() + (i * 1.7).sum()
+
+        def s_loss(p):
+            u, i = segment_repr(p, m_u, m_i)
+            return (u * u).sum() + (i * 1.7).sum()
+
+        got, grads_k = jax.value_and_grad(k_loss)(params)
+        want, grads_s = jax.value_and_grad(s_loss)(params)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            grads_k, grads_s)
+
+
 def test_conv_cli_and_registry(tmp_path, dummy_dir, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from textgcn_tpu import cli

@@ -20,6 +20,16 @@ per-destination max (self-loop logit included), then masked ``exp`` +
 reference applies ONE conv (one weight set) to the stacked matrix, user
 and item rows share the layer parameters here too.
 
+On TPU the GCN/GraphSAGE(mean|sum) aggregations ride the same tiled
+one-hot MXU kernel as the flagship propagation (``ops/pallas_spmm``):
+their degree normalizations are separable — ``D̂_dst^{-1/2} A D̂_src^{-1/2}``
+is two table-row scalings around an *unweighted* masked SpMM — so one
+unit-weight ``PallasGraphOp`` serves every layer, with edge dropout as the
+kernel's fused (user, item, salt) hash mask and the mask-dependent degrees
+as sorted scalar segment-sums over precomputed edge orderings.  The
+segment-op formulation above remains the oracle-tested fallback (CPU,
+``aggr='max'``, attention convs, and the mesh path).
+
 Edge dropout during training mirrors the reference's
 ``_dropout_norm_matrix`` (``rejected_models.py:29``): an independent
 Bernoulli keep-mask per direction removes edges from the layer — dropped
@@ -39,6 +49,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .lightgcn import LightGCN
 
@@ -216,10 +227,12 @@ class ConvModel(LightGCN):
     # transform the ego term, so the mode is disabled for this family
     supports_cached_propagation = False
 
-    # conv propagation runs on the raw edge arrays, not the SpMM graph op
-    # — 'graph_op' is dropped from the captured set so the (expensive)
-    # Pallas tile layout is never built for this family
-    captured_attrs = ('pos_padded', 'pos_degree', 'conv_edges')
+    # conv propagation runs on the raw edge arrays (or its own unit-weight
+    # kernel op on TPU), not the lgcn SpMM graph op — 'graph_op' is dropped
+    # from the captured set so that tile layout is never built for this
+    # family; 'conv_op' is the family's own kernel layout (None on the
+    # segment-op path)
+    captured_attrs = ('pos_padded', 'pos_degree', 'conv_edges', 'conv_op')
 
     def __init__(self, cfg, data):
         super().__init__(cfg, data)
@@ -237,6 +250,43 @@ class ConvModel(LightGCN):
             'edge_item': jnp.asarray(g.edge_item),
             'edge_weight': jnp.asarray(g.edge_weight, jnp.float32),
         }
+        self._conv_op = None
+        if self.backend != 'xla':
+            # item-sorted (user, item) copy for the mask-dependent item
+            # degrees: scalar segment-sums take XLA's fast sorted path
+            # (edge_user order is already user-sorted from the data layer,
+            # data/core.py:233)
+            order_i = np.lexsort((g.edge_user, g.edge_item))
+            self.conv_edges['eu_by_i'] = jnp.asarray(g.edge_user[order_i])
+            self.conv_edges['ei_by_i'] = jnp.asarray(g.edge_item[order_i])
+
+    def _use_kernel(self) -> bool:
+        """GCN / GraphSAGE(mean|sum) aggregate through the tiled one-hot
+        MXU kernel; max-aggregation and the attention convs keep the
+        segment-op path (max is not a matmul; attention needs per-edge
+        weights — see ``ops/pallas_gat``)."""
+        return (self.backend in ('pallas', 'pallas_interpret')
+                and (self.conv == 'gcn'
+                     or (self.conv == 'graphsage' and self.aggr != 'max')))
+
+    @property
+    def conv_op(self):
+        """Unit-weight kernel layout over the padded tables (lazy — the
+        host tile pack is skipped entirely on the segment-op path)."""
+        if self._conv_op is None and self._use_kernel():
+            with jax.ensure_compile_time_eval():
+                from ..ops.pallas_spmm import PallasGraphOp
+                eu, ei, _ = self._edges
+                ones = np.ones(len(np.asarray(eu)), np.float32)
+                self._conv_op = PallasGraphOp(
+                    eu, ei, ones, self.n_users_t, self.n_items_t,
+                    self.cfg.emb_size,
+                    interpret=self.backend == 'pallas_interpret')
+        return self._conv_op
+
+    @conv_op.setter
+    def conv_op(self, op):
+        self._conv_op = op
 
     def init_params(self, key):
         k_tab, k_conv = jax.random.split(key)
@@ -248,6 +298,9 @@ class ConvModel(LightGCN):
 
     def representation(self, params, *, training: bool = False,
                        dropout_key=None):
+        if self._use_kernel():
+            return self._kernel_representation(params, training,
+                                               dropout_key)
         e = self.conv_edges
         n_edges = e['edge_user'].shape[0]
         ones = jnp.ones((n_edges,), jnp.float32)
@@ -266,6 +319,86 @@ class ConvModel(LightGCN):
             u, i = conv_layer(layer_params, self.conv, self.aggr, u, i,
                               e['edge_user'], e['edge_item'], m_u, m_i,
                               e['edge_weight'])
+            acc_u = acc_u + u
+            acc_i = acc_i + i
+        if self.single:
+            return u, i
+        inv = 1.0 / (self.n_layers + 1)
+        return acc_u * inv, acc_i * inv
+
+    def _kernel_representation(self, params, training, dropout_key):
+        """GCN / GraphSAGE(mean|sum) propagation on the tiled one-hot MXU
+        kernel (``ops/pallas_spmm``), exploiting that both convs'
+        normalizations are separable row scalings around an unweighted
+        masked sum:
+
+        * GCN:  ``agg_dst = D̂_dst^{-1/2} ⊙ Σ_mask(D̂_src^{-1/2} ⊙ h_src)``
+          with ``D̂ = surviving degree + 1`` and the self loop added as a
+          table term — exactly ``_gcn_direction`` refactored so the sum is
+          a unit-weight SpMM.
+        * SAGE: neighbor sums, divided by surviving degree for 'mean'.
+
+        Edge dropout is the kernel's fused (user, item, salt) hash mask —
+        the same Bernoulli(keep) law as the segment path's explicit masks,
+        just a different (order-independent) stream.  The kernel applies
+        ``mask/keep`` per edge; conv semantics drop edges WITHOUT the
+        1/keep rescale (torch_geometric drops entries from edge_index), so
+        kernel outputs are scaled back by ``keep``.  Degrees are computed
+        from the identical hash on sorted edge copies (sorted scalar
+        segment-sums), so they count exactly the kernel's surviving edges.
+        """
+        e = self.conv_edges
+        op = self.conv_op
+        p = self.dropout if (training and dropout_key is not None) else 0.0
+        (salt_u, keep), (salt_i, _) = op.weights(
+            dropout_key if p > 0.0 else None, p)
+        from ..ops.pallas_spmm import edge_dropout_scale
+
+        def mask01(eu, ei, salt):
+            return (edge_dropout_scale(eu, ei, salt, keep)
+                    > 0.0).astype(jnp.float32)
+
+        # surviving degrees under each direction's mask (user-sorted
+        # canonical order for users, item-sorted copy for items)
+        deg_u = jax.ops.segment_sum(
+            mask01(e['edge_user'], e['edge_item'], salt_u),
+            e['edge_user'], num_segments=self.n_users_t,
+            indices_are_sorted=True)
+        deg_i = jax.ops.segment_sum(
+            mask01(e['eu_by_i'], e['ei_by_i'], salt_i),
+            e['ei_by_i'], num_segments=self.n_items_t,
+            indices_are_sorted=True)
+
+        def ksum_to_user(x):   # Σ over surviving edges, no 1/keep rescale
+            return op.to_user(x, (salt_u, keep)) * keep
+
+        def ksum_to_item(x):
+            return op.to_item(x, (salt_i, keep)) * keep
+
+        u, i = params['user_emb'], params['item_emb']
+        acc_u, acc_i = u, i
+        if self.conv == 'gcn':
+            dhu, dhi = deg_u + 1.0, deg_i + 1.0
+            ru = jax.lax.rsqrt(dhu)[:, None]
+            ri = jax.lax.rsqrt(dhi)[:, None]
+        else:
+            du = jnp.maximum(deg_u, 1.0)[:, None]
+            di = jnp.maximum(deg_i, 1.0)[:, None]
+        for lp in params['convs']:
+            if self.conv == 'gcn':
+                h_u, h_i = u @ lp['w'], i @ lp['w']
+                u = (ru * ksum_to_user(h_i * ri) + h_u * (ru * ru)
+                     + lp['b'])
+                i = (ri * ksum_to_item(h_u * ru) + h_i * (ri * ri)
+                     + lp['b'])
+            else:   # graphsage mean|sum
+                nbr_u = ksum_to_user(i)
+                nbr_i = ksum_to_item(u)
+                if self.aggr == 'mean':
+                    nbr_u = nbr_u / du
+                    nbr_i = nbr_i / di
+                u = (nbr_u @ lp['w_nbr'] + lp['b'] + u @ lp['w_root'])
+                i = (nbr_i @ lp['w_nbr'] + lp['b'] + i @ lp['w_root'])
             acc_u = acc_u + u
             acc_i = acc_i + i
         if self.single:

@@ -129,6 +129,20 @@ def shard_model(mesh: Mesh, model, propagation: str = 'auto'):
     from .pallas_sharded import MeshPallasGraphOp
     eu, ei, w = model._edges
 
+    if 'graph_op' not in getattr(model, 'captured_attrs', ('graph_op',)):
+        # edge-native family (conv): propagates on raw edge arrays, never
+        # through the SpMM op — skip the layout build and pin the
+        # GSPMD-partitioned segment formulation (the single-chip conv
+        # kernel path is not mesh-aware)
+        model.backend = 'xla'
+        if hasattr(model, 'conv_op'):
+            model.conv_op = None
+        repl = replicated(mesh)
+        model.pos_padded = jax.device_put(model.pos_padded, repl)
+        model.pos_degree = jax.device_put(model.pos_degree, repl)
+        model.conv_edges = jax.device_put(model.conv_edges, repl)
+        return model
+
     fits = True
     if hasattr(model, 'cfg'):
         fits = MeshPallasGraphOp.supports(
