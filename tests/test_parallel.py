@@ -191,6 +191,66 @@ def test_sharded_ltr_step_trains_tower(dummy_dir, mesh):
                                np.asarray(p_s['item_emb'])[:ni], atol=1e-5)
 
 
+@pytest.mark.parametrize('name', ['adv_sampling', 'gat', 'kg'])
+def test_sharded_family_step_matches_single(dummy_dir, mesh, name):
+    """One Adam step on the mesh == single device for the families most
+    likely to break under sharding: adv_sampling's (B, n_items) Bernoulli
+    candidate mask + hard-negative mining, the attention conv's in-trace
+    degree recompute + segment softmax, and the KG semantic loss's
+    captured text-feature tables (VERDICT r3 weak #5)."""
+    from textgcn_tpu.registry import get_class
+
+    def build(mesh=None):
+        kw = dict(model=name, data=str(dummy_dir), epochs=1,
+                  batch_size=16, emb_size=16, n_layers=2, dropout=0.0,
+                  k=(3,), save=False, save_path='/tmp/par_fam_run')
+        if name == 'gat':
+            kw['aggr'] = 'mean'
+        cfg = Config(**kw).finalize()
+        loader, model_cls = get_class(name)
+        data = loader(cfg)
+        if mesh is not None:
+            data = data.padded_to(mesh.size)
+        return cfg, data, model_cls(cfg, data)
+
+    cfg_s, data_s, model_s = build()
+    cfg_m, data_m, model_m = build(mesh)
+    model_m = shard_model(mesh, model_m)
+
+    params_s = model_s.init_params(jax.random.key(0))
+    params_m = shard_params(mesh, model_m.init_params(jax.random.key(0)))
+    optimizer = optax.adam(cfg_s.lr)
+
+    batch = jax.tree.map(lambda x: x[0],
+                         model_s.sample_batches(jax.random.key(1), 16))
+
+    def single_step(params, opt_state, batch, key):
+        (loss, _), grads = jax.value_and_grad(
+            model_s.loss, has_aux=True)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step_m = make_sharded_train_step(mesh, model_m, optimizer)
+
+    key = jax.random.key(2)
+    p_s, _, loss_s = jax.jit(single_step)(
+        params_s, optimizer.init(params_s), batch, key)
+    p_m, _, loss_m = step_m(params_m, optimizer.init(params_m),
+                            tuple(batch), key)
+
+    assert float(loss_s) == pytest.approx(float(loss_m), rel=1e-5)
+    nu, ni = data_s.n_users, data_s.n_items
+    np.testing.assert_allclose(np.asarray(p_m['user_emb'])[:nu],
+                               np.asarray(p_s['user_emb'])[:nu], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_m['item_emb'])[:ni],
+                               np.asarray(p_s['item_emb'])[:ni], atol=1e-5)
+    if name == 'gat':   # replicated conv layer params follow the same
+        for l_s, l_m in zip(p_s['convs'], p_m['convs']):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=1e-5), l_s, l_m)
+
+
 def test_mesh_trainer_end_to_end(dummy_dir, mesh, tmp_path):
     """Full fit + evaluate on the mesh == single device within tolerance
     (sampling/dropout are seeded identically; dropout off here)."""
