@@ -126,3 +126,35 @@ def test_flax_encode_matches_sentence_transformers(tiny_bert, monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-4)
     cos = (got * want).sum(-1)  # both unit-norm
     np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+
+
+def test_flax_encode_matches_real_minilm(monkeypatch):
+    """REAL-weights parity with the reference's exact encoder
+    (``SentenceTransformer('all-MiniLM-L6-v2')``, reference
+    ``utils.py:109-112``), gated on weight availability: loads
+    cache-only (``HF_HUB_OFFLINE=1``, so it skips fast instead of
+    hanging in a zero-egress image) and activates the moment the HF
+    cache holds the model or ``TEXTGCN_TPU_MINILM_DIR`` points at a
+    local copy.  Until then the tiny-checkpoint tests above pin the
+    pipeline conventions and this stays an xfail-style skip."""
+    pytest.importorskip('sentence_transformers')
+    monkeypatch.setenv('HF_HUB_OFFLINE', '1')
+    monkeypatch.setenv('TRANSFORMERS_OFFLINE', '1')
+    from sentence_transformers import SentenceTransformer
+
+    name = os.environ.get('TEXTGCN_TPU_MINILM_DIR',
+                          'sentence-transformers/all-MiniLM-L6-v2')
+    try:
+        st = SentenceTransformer(name, device='cpu')
+    except Exception as e:  # no cached weights, no local dir
+        pytest.skip(f'real MiniLM weights unavailable offline: {e}')
+
+    want = st.encode(SENTENCES, batch_size=3, convert_to_numpy=True,
+                     normalize_embeddings=True, show_progress_bar=False)
+
+    from textgcn_tpu.data.encoder_flax import flax_encode
+    got = flax_encode(SENTENCES, name, batch_size=3)
+
+    assert got.shape == want.shape
+    cos = (got * want).sum(-1)  # both unit-norm
+    assert cos.min() > 0.999, cos
