@@ -262,11 +262,13 @@ class ConvModel(LightGCN):
 
     def _use_kernel(self) -> bool:
         """GCN / GraphSAGE(mean|sum) aggregate through the tiled one-hot
-        MXU kernel; max-aggregation and the attention convs keep the
-        segment-op path (max is not a matmul; attention needs per-edge
-        weights — see ``ops/pallas_gat``)."""
+        MXU kernel; GAT runs the block-sparse softmax-attention kernels
+        (``ops/pallas_gat``: max pass + fused num/den aggregation +
+        hand-derived two-pass VJP).  Max-aggregation SAGE (not a matmul)
+        and GATv2 (per-edge d-dim leaky inside the logit) keep the
+        segment-op path."""
         return (self.backend in ('pallas', 'pallas_interpret')
-                and (self.conv == 'gcn'
+                and (self.conv in ('gcn', 'gat')
                      or (self.conv == 'graphsage' and self.aggr != 'max')))
 
     @property
@@ -357,6 +359,28 @@ class ConvModel(LightGCN):
         def mask01(eu, ei, salt):
             return (edge_dropout_scale(eu, ei, salt, keep)
                     > 0.0).astype(jnp.float32)
+
+        interpret = self.backend == 'pallas_interpret'
+        if self.conv == 'gat':
+            from ..ops.pallas_gat import gat_direction
+            u, i = params['user_emb'], params['item_emb']
+            acc_u, acc_i = u, i
+            for lp in params['convs']:
+                h_u, h_i = u @ lp['w'], i @ lp['w']
+                s_u, d_u = h_u @ lp['a_src'], h_u @ lp['a_dst']
+                s_i, d_i = h_i @ lp['a_src'], h_i @ lp['a_dst']
+                u = gat_direction(op, 'to_user', h_i, h_u, s_i, s_u,
+                                  d_u, salt_u, keep,
+                                  interpret=interpret) + lp['b']
+                i = gat_direction(op, 'to_item', h_u, h_i, s_u, s_i,
+                                  d_i, salt_i, keep,
+                                  interpret=interpret) + lp['b']
+                acc_u = acc_u + u
+                acc_i = acc_i + i
+            if self.single:
+                return u, i
+            inv = 1.0 / (self.n_layers + 1)
+            return acc_u * inv, acc_i * inv
 
         # surviving degrees under each direction's mask (user-sorted
         # canonical order for users, item-sorted copy for items)

@@ -1,0 +1,603 @@
+"""Pallas TPU kernels for GAT attention propagation (block-sparse softmax).
+
+The GAT/GATv2 convs (reference ``rejected_models.py:7-42`` via
+torch_geometric) need a per-destination softmax over incoming edges:
+
+    out_j = ( Σ_i e_ij h_i + e_self h_j ) / ( Σ_i e_ij + e_self ),
+    e_ij  = exp(leaky(s_i + d_j) − m_j) · mask_ij
+
+Per-edge logits are NOT separable (the leaky-ReLU couples the endpoints),
+so this cannot ride the plain SpMM kernel's static weights.  Instead the
+attention runs as its own two-pass block-sparse pipeline over the SAME
+tiled layout as ``ops/pallas_spmm`` (packed locals, group metadata,
+scalar-prefetched group pointers):
+
+* **max pass** (`_max_kernel`): per-dst running max of masked logits —
+  the softmax shift.  Scalars gather via tiny one-hot matmuls
+  (s per edge: ``onehot(src_local) @ s_block``), the max reduces on the
+  VPU over a (dst_block, GROUP·CHUNK) masked select.
+* **aggregate pass** (`_agg_kernel`): e_ij from the gathered scalars +
+  the in-kernel (user, item, salt) hash mask, then the familiar merged
+  one-hot MXU scatter accumulates BOTH the weighted-message numerator
+  (dst_block, d) and the denominator column (dst_block, 1) in one grid.
+* **backward** is hand-derived (softmax VJP with the shift m
+  stop-gradded — exact, by shift invariance) and runs as two more
+  passes: `_bwd_src_kernel` over the TRANSPOSE tiles computes
+  ``dh_i = Σ_j e_ij g_j`` and ``ds_i = Σ_j dz_ij`` (dz = e·(g·h + g_den)·
+  leaky'(z)), recomputing e in the transpose order — the hash mask is
+  order-independent, so zero permutation traffic, exactly like the SpMM
+  custom VJP; `_bwd_dst_kernel` over the forward tiles reduces
+  ``dd_j = Σ_i dz_ij``.  The per-edge SDDMM dot ``g_j·h_i`` is two
+  one-hot MXU gathers + a VPU row dot.
+
+Self-loop terms, the combination, and all parameter matmuls stay in
+plain JAX outside the custom-VJP boundary (autodiff handles them).
+Source-range splits follow ``TiledSpMM``: every output is a sum (or max)
+over splits, so big tables work unchanged.
+
+Used by ``models/conv.py`` for the 'gat' variant on TPU; the segment-op
+formulation remains the oracle-tested fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_spmm import CHUNK, GROUP, PRECISION, _F1, _F2, _M1, _M2, \
+    _zeros_ct
+
+NEG = -1e30   # python literals: inlined into kernels, not captured
+SLOPE = 0.2   # torch_geometric LeakyReLU default
+
+
+def _hash_keep(uid, iid, salt, keep):
+    """In-kernel murmur hash mask {0., 1.} — identical stream to
+    ``pallas_spmm.edge_dropout_scale`` (order-independent)."""
+    h = uid * _M1 ^ iid * _M2 ^ salt.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * _F1
+    h = h ^ (h >> 15)
+    h = h * _F2
+    h = h ^ (h >> 16)
+    unif = (h >> 9).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(1 / 8388608)
+    return jnp.where((unif < keep) | (keep >= 1.0), 1.0, 0.0)
+
+
+def _leaky(z):
+    return jnp.where(z >= 0, z, SLOPE * z)
+
+
+def _dleaky(z):
+    # matches jax.nn.leaky_relu's subgradient convention (1 at z == 0)
+    return jnp.where(z >= 0, 1.0, SLOPE)
+
+
+def _chunk_scalars(b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                   src_block, dst_block, user_axis):
+    """Shared per-chunk decode: local ids, one-hots, masked unit weight.
+
+    Returns (src_local, dst_local, onehot_src (CHUNK, src_block),
+    onehot_dst (CHUNK, dst_block), wmask (CHUNK,)) where wmask is the
+    layout weight (0 on padding slots) times the hash dropout mask.
+    ``b`` is the dst-block grid index, read once at kernel top (the HLO
+    interpreter substitutes program_id only there).
+    """
+    sb = sb_ref[g * GROUP + j]
+    packed = packed_ref[0, j, :]
+    src_local = packed & 0xFFFF
+    dst_local = packed >> 16
+    oh_src = (src_local[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, src_block), 1)).astype(jnp.float32)
+    oh_dst = (dst_local[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, dst_block), 1)).astype(jnp.float32)
+    src_g = (sb * src_block + src_local
+             + off.astype(jnp.int32)).astype(jnp.uint32)
+    dst_g = (b * dst_block + dst_local).astype(jnp.uint32)
+    uid, iid = (dst_g, src_g) if user_axis == 'dst' else (src_g, dst_g)
+    wmask = w_ref[0, j, :] * _hash_keep(uid, iid, salt, keep)
+    return sb, oh_src, oh_dst, wmask
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=PRECISION,
+                   preferred_element_type=jnp.float32)
+
+
+def _make_max_kernel(src_block, dst_block, user_axis):
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, s_ref, d_ref, m_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            for j in range(GROUP):                    # static unroll
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                s_e = _dot(oh_src, s_ref[pl.ds(start, src_block), :])[:, 0]
+                d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
+                logit = jnp.where(wmask > 0, _leaky(s_e + d_e), NEG)
+                # per-dst max over this chunk's edges (VPU select + max)
+                contrib = jnp.max(
+                    jnp.where(oh_dst.T > 0, logit[None, :], NEG),
+                    axis=1, keepdims=True)
+                m_ref[:] = jnp.maximum(m_ref[:], contrib)
+
+    return _kernel
+
+
+def _make_agg_kernel(src_block, dst_block, user_axis):
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, s_ref, d_ref, m_ref, x_ref,
+                num_ref, den_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            num_ref[:] = jnp.zeros_like(num_ref)
+            den_ref[:] = jnp.zeros_like(den_ref)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            rows_all, e_all, dst_all = [], [], []
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                xb = x_ref[pl.ds(start, src_block), :]
+                rows = _dot(oh_src.astype(xb.dtype), xb)
+                s_e = _dot(oh_src, s_ref[pl.ds(start, src_block), :])[:, 0]
+                d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
+                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
+                e = wmask * jnp.exp(_leaky(s_e + d_e) - m_e)
+                rows_all.append(rows * e[:, None])
+                e_all.append(e)
+                dst_all.append(packed_ref[0, j, :] >> 16)
+
+            rows_cat = jnp.concatenate(rows_all, axis=0)
+            e_cat = jnp.concatenate(e_all)[:, None]
+            dst_cat = jnp.concatenate(dst_all)
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_cat[None, :]).astype(jnp.float32)
+            num_ref[:] += _dot(s_scatter, rows_cat)
+            den_ref[:] += _dot(s_scatter, e_cat)
+
+    return _kernel
+
+
+def _make_bwd_src_kernel(src_block, dst_block, user_axis):
+    """Over the TRANSPOSE tiles: this layout's src = forward dst (j),
+    dst = forward src (i).  Computes dh_i = Σ_j e_ij g_j and
+    ds_i = Σ_j dz_ij.  s lives on this layout's DST side; d/m/g_num/
+    g_den on its SRC side."""
+
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, s_ref, d_ref, m_ref, gnum_ref,
+                gden_ref, h_ref, dh_ref, ds_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[:] = jnp.zeros_like(dh_ref)
+            ds_ref[:] = jnp.zeros_like(ds_ref)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            grows_all, dz_all, dst_all = [], [], []
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                g_rows = _dot(oh_src, gnum_ref[pl.ds(start, src_block), :])
+                gden_e = _dot(
+                    oh_src, gden_ref[pl.ds(start, src_block), :])[:, 0]
+                d_e = _dot(oh_src, d_ref[pl.ds(start, src_block), :])[:, 0]
+                m_e = _dot(oh_src, m_ref[pl.ds(start, src_block), :])[:, 0]
+                s_e = _dot(oh_dst, s_ref[:, :])[:, 0]
+                h_rows = _dot(oh_dst, h_ref[:, :])
+                z = s_e + d_e
+                e = wmask * jnp.exp(_leaky(z) - m_e)
+                de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
+                dz = e * de * _dleaky(z)
+                grows_all.append(g_rows * e[:, None])
+                dz_all.append(dz)
+                dst_all.append(packed_ref[0, j, :] >> 16)
+
+            grows_cat = jnp.concatenate(grows_all, axis=0)
+            dz_cat = jnp.concatenate(dz_all)[:, None]
+            dst_cat = jnp.concatenate(dst_all)
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_cat[None, :]).astype(jnp.float32)
+            dh_ref[:] += _dot(s_scatter, grows_cat)
+            ds_ref[:] += _dot(s_scatter, dz_cat)
+
+    return _kernel
+
+
+def _make_bwd_dst_kernel(src_block, dst_block, user_axis):
+    """Over the FORWARD tiles: dd_j = Σ_i dz_ij."""
+
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, s_ref, d_ref, m_ref, gnum_ref,
+                gden_ref, x_ref, dd_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            dd_ref[:] = jnp.zeros_like(dd_ref)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            dz_all, dst_all = [], []
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                xb = x_ref[pl.ds(start, src_block), :]
+                h_rows = _dot(oh_src.astype(xb.dtype), xb)
+                s_e = _dot(oh_src, s_ref[pl.ds(start, src_block), :])[:, 0]
+                g_rows = _dot(oh_dst, gnum_ref[:, :])
+                gden_e = _dot(oh_dst, gden_ref[:, :])[:, 0]
+                d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
+                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
+                z = s_e + d_e
+                e = wmask * jnp.exp(_leaky(z) - m_e)
+                de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
+                dz_all.append(e * de * _dleaky(z))
+                dst_all.append(packed_ref[0, j, :] >> 16)
+
+            dz_cat = jnp.concatenate(dz_all)[:, None]
+            dst_cat = jnp.concatenate(dst_all)
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_cat[None, :]).astype(jnp.float32)
+            dd_ref[:] += _dot(s_scatter, dz_cat)
+
+    return _kernel
+
+
+# --- pallas_call wrappers (one split of one direction's layout) -------------
+
+def _meta_specs(n_groups):
+    def group_map(b, t, ptr, sb, s_, k_, o_):
+        return (jnp.minimum(ptr[b] + t, n_groups - 1), 0, 0)
+
+    return pl.BlockSpec((1, GROUP, CHUNK), group_map,
+                        memory_space=pltpu.VMEM)
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda b, t, *_: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _by_dst(width):
+    return pl.BlockSpec(width, lambda b, t, *_: (b, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gat_max(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, *,
+            n_dst_blocks, max_groups, src_block, dst_block, user_axis,
+            interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    return pl.pallas_call(
+        _make_max_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta, _full(s.shape),
+                      _by_dst((dst_block, 1))],
+            out_specs=_by_dst((dst_block, 1)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                       jnp.float32),
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gat_agg(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, x,
+            *, n_dst_blocks, max_groups, src_block, dst_block, user_axis,
+            interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    dcol = x.shape[1]
+    return pl.pallas_call(
+        _make_agg_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta, _full(s.shape),
+                      _by_dst((dst_block, 1)), _by_dst((dst_block, 1)),
+                      _full(x.shape)],
+            out_specs=[_by_dst((dst_block, dcol)),
+                       _by_dst((dst_block, 1))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                        jnp.float32)],
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, x)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gat_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
+                gnum, gden, h, *, n_dst_blocks, max_groups, src_block,
+                dst_block, user_axis, interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    dcol = gnum.shape[1]
+    return pl.pallas_call(
+        _make_bwd_src_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta,
+                      _by_dst((dst_block, 1)),     # s   (this dst side)
+                      _full(d.shape),              # d   (this src side)
+                      _full(m.shape),
+                      _full(gnum.shape),
+                      _full(gden.shape),
+                      _by_dst((dst_block, dcol))],  # h  (this dst side)
+            out_specs=[_by_dst((dst_block, dcol)),
+                       _by_dst((dst_block, 1))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                        jnp.float32)],
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, gnum,
+      gden, h)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gat_bwd_dst(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
+                gnum, gden, x, *, n_dst_blocks, max_groups, src_block,
+                dst_block, user_axis, interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    return pl.pallas_call(
+        _make_bwd_dst_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta,
+                      _full(s.shape),              # s   (src side)
+                      _by_dst((dst_block, 1)),     # d   (dst side)
+                      _by_dst((dst_block, 1)),     # m
+                      _by_dst((dst_block, x.shape[1])),   # g_num
+                      _by_dst((dst_block, 1)),     # g_den
+                      _full(x.shape)],
+            out_specs=_by_dst((dst_block, 1)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                       jnp.float32),
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, gnum,
+      gden, x)
+
+
+# --- split orchestration ------------------------------------------------------
+
+def _pad_rows(a, rows):
+    return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+
+
+def _run_fwd_splits(tiled, fn, dst_arrays, src_arrays, salt, keep,
+                    combine, interpret):
+    """Run ``fn`` over a TiledSpMM's source-range splits.
+
+    ``dst_arrays``: (n_dst-padded, c) inputs sliced per dst block inside
+    the kernel; ``src_arrays``: (n_src, c) inputs sliced per split here.
+    ``combine``: 'add' | 'max' across splits.
+    """
+    salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
+    keep_arr = jnp.asarray(keep, jnp.float32).reshape(1)
+    out = None
+    for off, length, d in tiled.splits:
+        srcs = [jax.lax.dynamic_slice_in_dim(a, off, length, axis=0)
+                if len(tiled.splits) > 1 else a for a in src_arrays]
+        part = fn(d, salt_arr, keep_arr,
+                  jnp.asarray([off], jnp.uint32), dst_arrays, srcs,
+                  interpret)
+        if out is None:
+            out = part
+        elif combine == 'add':
+            out = jax.tree.map(jnp.add, out, part)
+        else:
+            out = jax.tree.map(jnp.maximum, out, part)
+    return out
+
+
+class _DirSpec:
+    """Static kernel parameters of one direction's tiled layout."""
+
+    def __init__(self, tiled):
+        self.src_block = tiled.splits[0][2].src_block
+        self.dst_block = tiled.splits[0][2].dst_block
+        self.user_axis = tiled.user_axis
+        self.n_dst_pad = (tiled.splits[0][2].n_dst_blocks
+                          * tiled.splits[0][2].dst_block)
+
+
+def _kw(direction_layout, spec, interpret):
+    d = direction_layout
+    return dict(n_dst_blocks=d.n_dst_blocks, max_groups=d.max_groups,
+                src_block=spec.src_block, dst_block=spec.dst_block,
+                user_axis=spec.user_axis, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gat_edge_max(direction, interpret, op, s_src, d_dst, salt, keep):
+    """(n_dst, 1) max over surviving incoming-edge logits (-1e30 when a
+    node has none).  custom-VJP with zero cotangents: the softmax shift
+    carries no gradient (shift invariance), and the wrapper keeps
+    autodiff from ever linearizing the pallas_call."""
+    tiled = op.l_i2u if direction == 'to_user' else op.l_u2i
+    spec = _DirSpec(tiled)
+    d_pad = _pad_rows(d_dst, spec.n_dst_pad)
+
+    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return gat_max(layout.group_ptr, layout.chunk_sb, salt_a, keep_a,
+                       off_a, layout.packed, layout.w, srcs[0], dsts[0],
+                       **_kw(layout, spec, interp))
+
+    m = _run_fwd_splits(tiled, fn, [d_pad], [s_src], salt, keep, 'max',
+                        interpret)
+    return m[:tiled.n_dst]
+
+
+def _gem_fwd(direction, interpret, op, s_src, d_dst, salt, keep):
+    out = gat_edge_max(direction, interpret, op, s_src, d_dst, salt, keep)
+    return out, (op, s_src, d_dst, salt, keep)
+
+
+def _gem_bwd(direction, interpret, res, g):
+    op, s_src, d_dst, salt, keep = res
+    return (_zeros_ct(op), jnp.zeros_like(s_src), jnp.zeros_like(d_dst),
+            _zeros_ct(salt), jnp.zeros_like(keep))
+
+
+gat_edge_max.defvjp(_gem_fwd, _gem_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gat_att_spmm(direction, interpret, op, h_src, s_src, d_dst, m_dst,
+                 salt, keep):
+    """(num, den) of the masked edge softmax for one direction.
+
+    ``direction``: 'to_user' | 'to_item' over a unit-weight
+    ``PallasGraphOp`` (``op``).  ``m_dst`` MUST be stop-gradded by the
+    caller (softmax shift invariance makes that exact).
+    """
+    fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
+    spec = _DirSpec(fwd)
+    d_pad = _pad_rows(d_dst, spec.n_dst_pad)
+    m_pad = _pad_rows(m_dst, spec.n_dst_pad)
+
+    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return tuple(gat_agg(
+            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
+            layout.packed, layout.w, srcs[0], dsts[0], dsts[1], srcs[1],
+            **_kw(layout, spec, interp)))
+
+    num, den = _run_fwd_splits(fwd, fn, [d_pad, m_pad], [s_src, h_src],
+                               salt, keep, 'add', interpret)
+    return num[:fwd.n_dst], den[:fwd.n_dst]
+
+
+def _gas_fwd(direction, interpret, op, h_src, s_src, d_dst, m_dst, salt,
+             keep):
+    out = gat_att_spmm(direction, interpret, op, h_src, s_src, d_dst,
+                       m_dst, salt, keep)
+    return out, (op, h_src, s_src, d_dst, m_dst, salt, keep)
+
+
+def _gas_bwd(direction, interpret, res, g):
+    op, h_src, s_src, d_dst, m_dst, salt, keep = res
+    g_num, g_den = g
+    fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
+    bwd = op.l_u2i if direction == 'to_user' else op.l_i2u
+
+    # --- transpose tiles: dh_i, ds_i ------------------------------------
+    # bwd layout: src = forward dst (j), dst = forward src (i)
+    spec_b = _DirSpec(bwd)
+    s_pad = _pad_rows(s_src, spec_b.n_dst_pad)
+    h_pad = _pad_rows(h_src, spec_b.n_dst_pad)
+
+    def fn_src(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return tuple(gat_bwd_src(
+            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
+            layout.packed, layout.w, dsts[0], srcs[0], srcs[1], srcs[2],
+            srcs[3], dsts[1], **_kw(layout, spec_b, interp)))
+
+    dh, ds = _run_fwd_splits(
+        bwd, fn_src, [s_pad, h_pad],
+        [d_dst, m_dst, g_num, g_den], salt, keep, 'add',
+        interpret)
+    dh = dh[:h_src.shape[0]]
+    ds = ds[:s_src.shape[0]]
+
+    # --- forward tiles: dd_j --------------------------------------------
+    spec_f = _DirSpec(fwd)
+    d_pad = _pad_rows(d_dst, spec_f.n_dst_pad)
+    m_pad = _pad_rows(m_dst, spec_f.n_dst_pad)
+    gnum_pad = _pad_rows(g_num, spec_f.n_dst_pad)
+    gden_pad = _pad_rows(g_den, spec_f.n_dst_pad)
+
+    def fn_dst(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return gat_bwd_dst(
+            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
+            layout.packed, layout.w, srcs[0], dsts[0], dsts[1], dsts[2],
+            dsts[3], srcs[1], **_kw(layout, spec_f, interp))
+
+    dd = _run_fwd_splits(fwd, fn_dst, [d_pad, m_pad, gnum_pad, gden_pad],
+                         [s_src, h_src], salt, keep, 'add', interpret)
+    dd = dd[:d_dst.shape[0]]
+
+    return (_zeros_ct(op), dh, ds, dd, jnp.zeros_like(m_dst),
+            _zeros_ct(salt), jnp.zeros_like(keep))
+
+
+gat_att_spmm.defvjp(_gas_fwd, _gas_bwd)
+
+
+def gat_direction(op, direction, h_src, h_dst, s_src, s_dst, d_dst,
+                  salt, keep, interpret=False):
+    """One full GAT attention direction with the (never-dropped) self
+    loop: returns the softmax-aggregated (n_dst, d) output.
+
+    Semantics match ``models/conv._attention_direction`` exactly:
+    per-dst softmax over surviving incoming edges plus the self loop
+    (self logit = leaky(s_dst + d_dst), self message = h_dst).
+    """
+    s_col = s_src[:, None]
+    d_col = d_dst[:, None]
+    m_edge = gat_edge_max(direction, interpret, op, s_col, d_col, salt,
+                          keep)
+    z_self = _leaky(s_dst + d_dst)[:, None]
+    m = jnp.maximum(m_edge, jax.lax.stop_gradient(z_self))
+    num, den = gat_att_spmm(direction, interpret, op, h_src, s_col,
+                            d_col, m, salt, keep)
+    e_self = jnp.exp(z_self - m)
+    return (num + e_self * h_dst) / (den + e_self)
