@@ -193,7 +193,8 @@ def test_conv_e2e_train(tmp_path, dummy_dir, name):
 @pytest.mark.parametrize('name,aggr', [('gcn', 'mean'),
                                        ('graphsage', 'mean'),
                                        ('graphsage', 'sum'),
-                                       ('gat', 'mean')])
+                                       ('gat', 'mean'),
+                                       ('gatv2', 'mean')])
 def test_conv_kernel_path_matches_segment_path(tmp_path, dummy_dir, name,
                                                aggr, monkeypatch):
     """The tiled-MXU-kernel conv propagation (models/conv.py

@@ -268,7 +268,7 @@ class ConvModel(LightGCN):
         and GATv2 (per-edge d-dim leaky inside the logit) keep the
         segment-op path."""
         return (self.backend in ('pallas', 'pallas_interpret')
-                and (self.conv in ('gcn', 'gat')
+                and (self.conv in ('gcn', 'gat', 'gatv2')
                      or (self.conv == 'graphsage' and self.aggr != 'max')))
 
     @property
@@ -361,20 +361,30 @@ class ConvModel(LightGCN):
                     > 0.0).astype(jnp.float32)
 
         interpret = self.backend == 'pallas_interpret'
-        if self.conv == 'gat':
-            from ..ops.pallas_gat import gat_direction
+        if self.conv in ('gat', 'gatv2'):
+            from ..ops.pallas_gat import gat_direction, gatv2_direction
             u, i = params['user_emb'], params['item_emb']
             acc_u, acc_i = u, i
             for lp in params['convs']:
-                h_u, h_i = u @ lp['w'], i @ lp['w']
-                s_u, d_u = h_u @ lp['a_src'], h_u @ lp['a_dst']
-                s_i, d_i = h_i @ lp['a_src'], h_i @ lp['a_dst']
-                u = gat_direction(op, 'to_user', h_i, h_u, s_i, s_u,
-                                  d_u, salt_u, keep,
-                                  interpret=interpret) + lp['b']
-                i = gat_direction(op, 'to_item', h_u, h_i, s_u, s_i,
-                                  d_i, salt_i, keep,
-                                  interpret=interpret) + lp['b']
+                if self.conv == 'gat':
+                    h_u, h_i = u @ lp['w'], i @ lp['w']
+                    s_u, d_u = h_u @ lp['a_src'], h_u @ lp['a_dst']
+                    s_i, d_i = h_i @ lp['a_src'], h_i @ lp['a_dst']
+                    u = gat_direction(op, 'to_user', h_i, h_u, s_i, s_u,
+                                      d_u, salt_u, keep,
+                                      interpret=interpret) + lp['b']
+                    i = gat_direction(op, 'to_item', h_u, h_i, s_u, s_i,
+                                      d_i, salt_i, keep,
+                                      interpret=interpret) + lp['b']
+                else:
+                    hs_u, hs_i = u @ lp['w_src'], i @ lp['w_src']
+                    hd_u, hd_i = u @ lp['w_dst'], i @ lp['w_dst']
+                    u = gatv2_direction(op, 'to_user', hs_i, hs_u, hd_u,
+                                        lp['a'], salt_u, keep,
+                                        interpret=interpret) + lp['b']
+                    i = gatv2_direction(op, 'to_item', hs_u, hs_i, hd_i,
+                                        lp['a'], salt_i, keep,
+                                        interpret=interpret) + lp['b']
                 acc_u = acc_u + u
                 acc_i = acc_i + i
             if self.single:

@@ -601,3 +601,427 @@ def gat_direction(op, direction, h_src, h_dst, s_src, s_dst, d_dst,
                             d_col, m, salt, keep)
     e_self = jnp.exp(z_self - m)
     return (num + e_self * h_dst) / (den + e_self)
+
+
+# ===========================================================================
+# GATv2: logit = a · leaky(hs_i + hd_j) — the leaky is per-edge and d-dim,
+# so both endpoint rows gather per chunk (two one-hot MXU matmuls); the
+# message is hs_i, already gathered for the logit.  Backward adds da (a
+# global (1, d) reduction accumulated in a constant-index output block)
+# and d-dim dhd.
+
+def _make_max2_kernel(src_block, dst_block, user_axis):
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                u = (_dot(oh_src, hs_ref[pl.ds(start, src_block), :])
+                     + _dot(oh_dst, hd_ref[:, :]))
+                logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
+                logit = jnp.where(wmask > 0, logit, NEG)
+                contrib = jnp.max(
+                    jnp.where(oh_dst.T > 0, logit[None, :], NEG),
+                    axis=1, keepdims=True)
+                m_ref[:] = jnp.maximum(m_ref[:], contrib)
+
+    return _kernel
+
+
+def _make_agg2_kernel(src_block, dst_block, user_axis):
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref,
+                num_ref, den_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            num_ref[:] = jnp.zeros_like(num_ref)
+            den_ref[:] = jnp.zeros_like(den_ref)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            rows_all, e_all, dst_all = [], [], []
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                rows_s = _dot(oh_src, hs_ref[pl.ds(start, src_block), :])
+                u = rows_s + _dot(oh_dst, hd_ref[:, :])
+                logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
+                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
+                e = wmask * jnp.exp(logit - m_e)
+                rows_all.append(rows_s * e[:, None])
+                e_all.append(e)
+                dst_all.append(packed_ref[0, j, :] >> 16)
+
+            rows_cat = jnp.concatenate(rows_all, axis=0)
+            e_cat = jnp.concatenate(e_all)[:, None]
+            dst_cat = jnp.concatenate(dst_all)
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_cat[None, :]).astype(jnp.float32)
+            num_ref[:] += _dot(s_scatter, rows_cat)
+            den_ref[:] += _dot(s_scatter, e_cat)
+
+    return _kernel
+
+
+def _make_bwd2_src_kernel(src_block, dst_block, user_axis):
+    """Transpose tiles (src = fwd dst j, dst = fwd src i):
+    dhs_i = Σ_j [ e_ij g_j + dz_ij (a ⊙ λvec_ij) ],  dz = e·(g_j·hs_i
+    + g_den_j)."""
+
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref,
+                gnum_ref, gden_ref, dhs_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            dhs_ref[:] = jnp.zeros_like(dhs_ref)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            rows_all, dst_all = [], []
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                # this layout: hs on DST side (by b), hd/m/g on SRC side
+                rows_s = _dot(oh_dst, hs_ref[:, :])
+                u = rows_s + _dot(
+                    oh_src, hd_ref[pl.ds(start, src_block), :])
+                logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
+                m_e = _dot(oh_src, m_ref[pl.ds(start, src_block), :])[:, 0]
+                e = wmask * jnp.exp(logit - m_e)
+                g_rows = _dot(oh_src, gnum_ref[pl.ds(start, src_block), :])
+                gden_e = _dot(
+                    oh_src, gden_ref[pl.ds(start, src_block), :])[:, 0]
+                de = jnp.sum(g_rows * rows_s, axis=1) + gden_e
+                dz = e * de
+                lam = _dleaky(u) * a_ref[:, :].T          # (CHUNK, d)
+                rows_all.append(g_rows * e[:, None]
+                                + lam * dz[:, None])
+                dst_all.append(packed_ref[0, j, :] >> 16)
+
+            rows_cat = jnp.concatenate(rows_all, axis=0)
+            dst_cat = jnp.concatenate(dst_all)
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_cat[None, :]).astype(jnp.float32)
+            dhs_ref[:] += _dot(s_scatter, rows_cat)
+
+    return _kernel
+
+
+def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
+    """Forward tiles: dhd_j = Σ_i dz_ij (a ⊙ λvec_ij) and the global
+    da = Σ_ij dz_ij leaky(u_ij) accumulated in a constant-index block."""
+
+    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
+                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref,
+                gnum_ref, gden_ref, dhd_ref, da_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            dhd_ref[:] = jnp.zeros_like(dhd_ref)
+
+        @pl.when((b == 0) & (t == 0))
+        def _():
+            da_ref[:] = jnp.zeros_like(da_ref)
+
+        g = ptr_ref[b] + t
+
+        @pl.when(g < ptr_ref[b + 1])
+        def _():
+            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            rows_all, dst_all = [], []
+            da_acc = jnp.zeros_like(da_ref)
+            for j in range(GROUP):
+                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
+                    src_block, dst_block, user_axis)
+                start = pl.multiple_of(sb * src_block, src_block)
+                rows_s = _dot(oh_src, hs_ref[pl.ds(start, src_block), :])
+                u = rows_s + _dot(oh_dst, hd_ref[:, :])
+                lk = _leaky(u)
+                logit = _dot(lk, a_ref[:, :])[:, 0]
+                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
+                e = wmask * jnp.exp(logit - m_e)
+                g_rows = _dot(oh_dst, gnum_ref[:, :])
+                gden_e = _dot(oh_dst, gden_ref[:, :])[:, 0]
+                dz = e * (jnp.sum(g_rows * rows_s, axis=1) + gden_e)
+                lam = _dleaky(u) * a_ref[:, :].T
+                rows_all.append(lam * dz[:, None])
+                dst_all.append(packed_ref[0, j, :] >> 16)
+                da_acc += jnp.sum(lk * dz[:, None], axis=0,
+                                  keepdims=True)
+
+            rows_cat = jnp.concatenate(rows_all, axis=0)
+            dst_cat = jnp.concatenate(dst_all)
+            s_scatter = (jax.lax.broadcasted_iota(
+                jnp.int32, (dst_block, GROUP * CHUNK), 0)
+                == dst_cat[None, :]).astype(jnp.float32)
+            dhd_ref[:] += _dot(s_scatter, rows_cat)
+            da_ref[:] += da_acc
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gatv2_max(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a,
+              *, n_dst_blocks, max_groups, src_block, dst_block,
+              user_axis, interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    dcol = hs.shape[1]
+    return pl.pallas_call(
+        _make_max2_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta, _full(hs.shape),
+                      _by_dst((dst_block, dcol)), _full(a.shape)],
+            out_specs=_by_dst((dst_block, 1)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                       jnp.float32),
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gatv2_agg(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a,
+              m, *, n_dst_blocks, max_groups, src_block, dst_block,
+              user_axis, interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    dcol = hs.shape[1]
+    return pl.pallas_call(
+        _make_agg2_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta, _full(hs.shape),
+                      _by_dst((dst_block, dcol)), _full(a.shape),
+                      _by_dst((dst_block, 1))],
+            out_specs=[_by_dst((dst_block, dcol)),
+                       _by_dst((dst_block, 1))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                        jnp.float32)],
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gatv2_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
+                  hd, a, m, gnum, gden, *, n_dst_blocks, max_groups,
+                  src_block, dst_block, user_axis, interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    dcol = hd.shape[1]
+    return pl.pallas_call(
+        _make_bwd2_src_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta,
+                      _by_dst((dst_block, dcol)),   # hs (this dst side)
+                      _full(hd.shape),              # hd (this src side)
+                      _full(a.shape),
+                      _full(m.shape),
+                      _full(gnum.shape),
+                      _full(gden.shape)],
+            out_specs=_by_dst((dst_block, dcol)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
+                                       jnp.float32),
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m,
+      gnum, gden)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
+    'interpret'))
+def gatv2_bwd_dst(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
+                  hd, a, m, gnum, gden, *, n_dst_blocks, max_groups,
+                  src_block, dst_block, user_axis, interpret=False):
+    meta = _meta_specs(packed.shape[0])
+    dcol = hs.shape[1]
+    da_spec = pl.BlockSpec((1, dcol), lambda b, t, *_: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_bwd2_dst_kernel(src_block, dst_block, user_axis),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_dst_blocks, max_groups),
+            in_specs=[meta, meta, _full(hs.shape),
+                      _by_dst((dst_block, dcol)), _full(a.shape),
+                      _by_dst((dst_block, 1)),
+                      _by_dst((dst_block, dcol)),
+                      _by_dst((dst_block, 1))],
+            out_specs=[_by_dst((dst_block, dcol)), da_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((1, dcol), jnp.float32)],
+        interpret=interpret,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m,
+      gnum, gden)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gatv2_edge_max(direction, interpret, op, hs_src, hd_dst, a_col, salt,
+                   keep):
+    """(n_dst, 1) max over surviving GATv2 edge logits."""
+    tiled = op.l_i2u if direction == 'to_user' else op.l_u2i
+    spec = _DirSpec(tiled)
+    hd_pad = _pad_rows(hd_dst, spec.n_dst_pad)
+
+    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return gatv2_max(layout.group_ptr, layout.chunk_sb, salt_a,
+                         keep_a, off_a, layout.packed, layout.w, srcs[0],
+                         dsts[0], a_col, **_kw(layout, spec, interp))
+
+    m = _run_fwd_splits(tiled, fn, [hd_pad], [hs_src], salt, keep, 'max',
+                        interpret)
+    return m[:tiled.n_dst]
+
+
+def _g2m_fwd(direction, interpret, op, hs_src, hd_dst, a_col, salt, keep):
+    out = gatv2_edge_max(direction, interpret, op, hs_src, hd_dst, a_col,
+                         salt, keep)
+    return out, (op, hs_src, hd_dst, a_col, salt, keep)
+
+
+def _g2m_bwd(direction, interpret, res, g):
+    op, hs_src, hd_dst, a_col, salt, keep = res
+    return (_zeros_ct(op), jnp.zeros_like(hs_src), jnp.zeros_like(hd_dst),
+            jnp.zeros_like(a_col), _zeros_ct(salt), jnp.zeros_like(keep))
+
+
+gatv2_edge_max.defvjp(_g2m_fwd, _g2m_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst, a_col,
+                   m_dst, salt, keep):
+    """(num, den) of the GATv2 masked edge softmax for one direction.
+    ``m_dst`` MUST be stop-gradded by the caller."""
+    fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
+    spec = _DirSpec(fwd)
+    hd_pad = _pad_rows(hd_dst, spec.n_dst_pad)
+    m_pad = _pad_rows(m_dst, spec.n_dst_pad)
+
+    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return tuple(gatv2_agg(
+            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
+            layout.packed, layout.w, srcs[0], dsts[0], a_col, dsts[1],
+            **_kw(layout, spec, interp)))
+
+    num, den = _run_fwd_splits(fwd, fn, [hd_pad, m_pad], [hs_src],
+                               salt, keep, 'add', interpret)
+    return num[:fwd.n_dst], den[:fwd.n_dst]
+
+
+def _g2s_fwd(direction, interpret, op, hs_src, hd_dst, a_col, m_dst,
+             salt, keep):
+    out = gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst, a_col,
+                         m_dst, salt, keep)
+    return out, (op, hs_src, hd_dst, a_col, m_dst, salt, keep)
+
+
+def _g2s_bwd(direction, interpret, res, g):
+    op, hs_src, hd_dst, a_col, m_dst, salt, keep = res
+    g_num, g_den = g
+    fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
+    bwd = op.l_u2i if direction == 'to_user' else op.l_i2u
+
+    # transpose tiles: dhs
+    spec_b = _DirSpec(bwd)
+    hs_pad = _pad_rows(hs_src, spec_b.n_dst_pad)
+
+    def fn_src(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return gatv2_bwd_src(
+            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
+            layout.packed, layout.w, dsts[0], srcs[0], a_col, srcs[1],
+            srcs[2], srcs[3], **_kw(layout, spec_b, interp))
+
+    dhs = _run_fwd_splits(bwd, fn_src, [hs_pad],
+                          [hd_dst, m_dst, g_num, g_den], salt, keep,
+                          'add', interpret)
+    dhs = dhs[:hs_src.shape[0]]
+
+    # forward tiles: dhd + da
+    spec_f = _DirSpec(fwd)
+    hd_pad = _pad_rows(hd_dst, spec_f.n_dst_pad)
+    m_pad = _pad_rows(m_dst, spec_f.n_dst_pad)
+    gnum_pad = _pad_rows(g_num, spec_f.n_dst_pad)
+    gden_pad = _pad_rows(g_den, spec_f.n_dst_pad)
+
+    def fn_dst(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
+        return tuple(gatv2_bwd_dst(
+            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
+            layout.packed, layout.w, srcs[0], dsts[0], a_col, dsts[1],
+            dsts[2], dsts[3], **_kw(layout, spec_f, interp)))
+
+    dhd, da = _run_fwd_splits(fwd, fn_dst,
+                              [hd_pad, m_pad, gnum_pad, gden_pad],
+                              [hs_src], salt, keep, 'add', interpret)
+    dhd = dhd[:hd_dst.shape[0]]
+
+    return (_zeros_ct(op), dhs, dhd, da.T, jnp.zeros_like(m_dst),
+            _zeros_ct(salt), jnp.zeros_like(keep))
+
+
+gatv2_att_spmm.defvjp(_g2s_fwd, _g2s_bwd)
+
+
+def gatv2_direction(op, direction, hs_src, hs_dst, hd_dst, a, salt, keep,
+                    interpret=False):
+    """One full GATv2 attention direction incl. the self loop (self
+    logit = a·leaky(hs_dst + hd_dst), self message = hs_dst) — matches
+    ``models/conv.conv_layer``'s 'gatv2' branch exactly."""
+    a_col = a[:, None]
+    m_edge = gatv2_edge_max(direction, interpret, op, hs_src, hd_dst,
+                            a_col, salt, keep)
+    z_self = (_leaky(hs_dst + hd_dst) @ a)[:, None]
+    m = jnp.maximum(m_edge, jax.lax.stop_gradient(z_self))
+    num, den = gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst,
+                              a_col, m, salt, keep)
+    e_self = jnp.exp(z_self - m)
+    return (num + e_self * hs_dst) / (den + e_self)
