@@ -464,13 +464,14 @@ def main():
     jax_eps, jax_step = bench_jax(steps=args.steps)
     eval_ups = bench_eval_jax()
     adv_ms = adv_eps = ltr_ups = serving_ups = cached_eps = None
-    conv_ms = conv_eps = text_ms = text_eps = None
+    conv_ms = conv_eps = gat_ms = text_ms = text_eps = None
     if not args.skip_extras:
         adv_ms, adv_eps = bench_adv_jax()
         ltr_ups = bench_ltr_eval()
         serving_ups = bench_eval_jax(approx=0.95)
         cached_eps, _ = bench_jax(steps=args.steps, refresh=8)
         conv_ms, conv_eps = bench_conv_jax()
+        gat_ms, _ = bench_conv_jax(conv='gat')
         text_ms, text_eps = bench_text_jax()
     if args.skip_baseline:
         torch_eps = eval_ups_t = None
@@ -502,6 +503,7 @@ def main():
             'conv_gcn_step_ms': round(conv_ms, 2) if conv_ms else None,
             'conv_gcn_examples_per_s': round(conv_eps, 1)
             if conv_eps else None,
+            'conv_gat_step_ms': round(gat_ms, 2) if gat_ms else None,
             'text_kg_step_ms': round(text_ms, 2) if text_ms else None,
             'text_kg_examples_per_s': round(text_eps, 1)
             if text_eps else None,

@@ -280,10 +280,16 @@ class ConvModel(LightGCN):
                 from ..ops.pallas_spmm import PallasGraphOp
                 eu, ei, _ = self._edges
                 ones = np.ones(len(np.asarray(eu)), np.float32)
+                # the attention kernels hold up to two full-slice d-dim
+                # tables per split (hd + g_num in GATv2's backward), so
+                # they budget half the VMEM per split
+                budget = (3 * 1024 * 1024
+                          if self.conv in ('gat', 'gatv2') else None)
                 self._conv_op = PallasGraphOp(
                     eu, ei, ones, self.n_users_t, self.n_items_t,
                     self.cfg.emb_size,
-                    interpret=self.backend == 'pallas_interpret')
+                    interpret=self.backend == 'pallas_interpret',
+                    vmem_budget=budget)
         return self._conv_op
 
     @conv_op.setter

@@ -101,12 +101,32 @@ def _chunk_scalars(b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
     dst_g = (b * dst_block + dst_local).astype(jnp.uint32)
     uid, iid = (dst_g, src_g) if user_axis == 'dst' else (src_g, dst_g)
     wmask = w_ref[0, j, :] * _hash_keep(uid, iid, salt, keep)
-    return sb, oh_src, oh_dst, wmask
+    return sb, src_local, oh_src, oh_dst, wmask
 
 
 def _dot(a, b):
     return jnp.dot(a, b, precision=PRECISION,
                    preferred_element_type=jnp.float32)
+
+
+def _gather_src_scalar(ref, sb, src_local, src_block):
+    """Per-edge scalar from a LANE-PACKED (n_rows/128, 128) vector.
+
+    Full-slice (N, 1) VMEM operands pad their lane dim to 128 (a 25 MB
+    allocation for a 49k-row f32 vector — over the 16 MB scoped-vmem
+    limit), so full-table scalars travel packed: value idx lives at
+    [idx // 128, idx % 128].  The gather is a tiny row-select matmul
+    plus a lane-select mask-reduce.
+    """
+    rows_per = src_block // 128
+    start = pl.multiple_of(sb * rows_per, rows_per)
+    blk = ref[pl.ds(start, rows_per), :]                # (rows_per, 128)
+    rowsel = ((src_local // 128)[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, rows_per), 1)).astype(jnp.float32)
+    rows = _dot(rowsel, blk)                            # (CHUNK, 128)
+    lanesel = (src_local % 128)[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, 128), 1)
+    return jnp.sum(jnp.where(lanesel, rows, 0.0), axis=1)
 
 
 def _make_max_kernel(src_block, dst_block, user_axis):
@@ -125,11 +145,11 @@ def _make_max_kernel(src_block, dst_block, user_axis):
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
             for j in range(GROUP):                    # static unroll
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
-                start = pl.multiple_of(sb * src_block, src_block)
-                s_e = _dot(oh_src, s_ref[pl.ds(start, src_block), :])[:, 0]
+                s_e = _gather_src_scalar(s_ref, sb, src_local,
+                                         src_block)
                 d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
                 logit = jnp.where(wmask > 0, _leaky(s_e + d_e), NEG)
                 # per-dst max over this chunk's edges (VPU select + max)
@@ -158,25 +178,28 @@ def _make_agg_kernel(src_block, dst_block, user_axis):
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all, e_all, dst_all = [], [], []
+            rows_all, e_all = [], []
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
                 xb = x_ref[pl.ds(start, src_block), :]
                 rows = _dot(oh_src.astype(xb.dtype), xb)
-                s_e = _dot(oh_src, s_ref[pl.ds(start, src_block), :])[:, 0]
+                s_e = _gather_src_scalar(s_ref, sb, src_local,
+                                         src_block)
                 d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
                 m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
                 e = wmask * jnp.exp(_leaky(s_e + d_e) - m_e)
                 rows_all.append(rows * e[:, None])
-                e_all.append(e)
-                dst_all.append(packed_ref[0, j, :] >> 16)
+                e_all.append(e[:, None])
 
+            # 2-D concats only (Mosaic cannot concat 1-D vectors past the
+            # first tile); dst ids come from the whole metadata tile like
+            # the SpMM kernel
             rows_cat = jnp.concatenate(rows_all, axis=0)
-            e_cat = jnp.concatenate(e_all)[:, None]
-            dst_cat = jnp.concatenate(dst_all)
+            e_cat = jnp.concatenate(e_all, axis=0)
+            dst_cat = packed_ref[0].reshape(-1) >> 16
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
@@ -208,17 +231,18 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            grows_all, dz_all, dst_all = [], [], []
+            grows_all, dz_all = [], []
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
-                g_rows = _dot(oh_src, gnum_ref[pl.ds(start, src_block), :])
-                gden_e = _dot(
-                    oh_src, gden_ref[pl.ds(start, src_block), :])[:, 0]
-                d_e = _dot(oh_src, d_ref[pl.ds(start, src_block), :])[:, 0]
-                m_e = _dot(oh_src, m_ref[pl.ds(start, src_block), :])[:, 0]
+                gb = gnum_ref[pl.ds(start, src_block), :]
+                g_rows = _dot(oh_src.astype(gb.dtype), gb)
+                gden_e = _gather_src_scalar(gden_ref, sb, src_local,
+                                            src_block)
+                d_e = _gather_src_scalar(d_ref, sb, src_local, src_block)
+                m_e = _gather_src_scalar(m_ref, sb, src_local, src_block)
                 s_e = _dot(oh_dst, s_ref[:, :])[:, 0]
                 h_rows = _dot(oh_dst, h_ref[:, :])
                 z = s_e + d_e
@@ -226,12 +250,11 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
                 de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
                 dz = e * de * _dleaky(z)
                 grows_all.append(g_rows * e[:, None])
-                dz_all.append(dz)
-                dst_all.append(packed_ref[0, j, :] >> 16)
+                dz_all.append(dz[:, None])
 
             grows_cat = jnp.concatenate(grows_all, axis=0)
-            dz_cat = jnp.concatenate(dz_all)[:, None]
-            dst_cat = jnp.concatenate(dst_all)
+            dz_cat = jnp.concatenate(dz_all, axis=0)
+            dst_cat = packed_ref[0].reshape(-1) >> 16
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
@@ -259,15 +282,16 @@ def _make_bwd_dst_kernel(src_block, dst_block, user_axis):
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            dz_all, dst_all = [], []
+            dz_all = []
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
                 xb = x_ref[pl.ds(start, src_block), :]
                 h_rows = _dot(oh_src.astype(xb.dtype), xb)
-                s_e = _dot(oh_src, s_ref[pl.ds(start, src_block), :])[:, 0]
+                s_e = _gather_src_scalar(s_ref, sb, src_local,
+                                         src_block)
                 g_rows = _dot(oh_dst, gnum_ref[:, :])
                 gden_e = _dot(oh_dst, gden_ref[:, :])[:, 0]
                 d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
@@ -275,11 +299,10 @@ def _make_bwd_dst_kernel(src_block, dst_block, user_axis):
                 z = s_e + d_e
                 e = wmask * jnp.exp(_leaky(z) - m_e)
                 de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
-                dz_all.append(e * de * _dleaky(z))
-                dst_all.append(packed_ref[0, j, :] >> 16)
+                dz_all.append((e * de * _dleaky(z))[:, None])
 
-            dz_cat = jnp.concatenate(dz_all)[:, None]
-            dst_cat = jnp.concatenate(dst_all)
+            dz_cat = jnp.concatenate(dz_all, axis=0)
+            dst_cat = packed_ref[0].reshape(-1) >> 16
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
@@ -423,6 +446,13 @@ def _pad_rows(a, rows):
     return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
 
 
+def _pack(a):
+    """(N, 1) scalar column -> lane-packed (N//128, 128) (see
+    ``_gather_src_scalar``); split lengths and table paddings are all
+    multiples of 128."""
+    return a.reshape(-1, 128)
+
+
 def _run_fwd_splits(tiled, fn, dst_arrays, src_arrays, salt, keep,
                     combine, interpret):
     """Run ``fn`` over a TiledSpMM's source-range splits.
@@ -479,8 +509,8 @@ def gat_edge_max(direction, interpret, op, s_src, d_dst, salt, keep):
 
     def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return gat_max(layout.group_ptr, layout.chunk_sb, salt_a, keep_a,
-                       off_a, layout.packed, layout.w, srcs[0], dsts[0],
-                       **_kw(layout, spec, interp))
+                       off_a, layout.packed, layout.w, _pack(srcs[0]),
+                       dsts[0], **_kw(layout, spec, interp))
 
     m = _run_fwd_splits(tiled, fn, [d_pad], [s_src], salt, keep, 'max',
                         interpret)
@@ -518,8 +548,8 @@ def gat_att_spmm(direction, interpret, op, h_src, s_src, d_dst, m_dst,
     def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return tuple(gat_agg(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, srcs[0], dsts[0], dsts[1], srcs[1],
-            **_kw(layout, spec, interp)))
+            layout.packed, layout.w, _pack(srcs[0]), dsts[0], dsts[1],
+            srcs[1].astype(fwd.x_dtype), **_kw(layout, spec, interp)))
 
     num, den = _run_fwd_splits(fwd, fn, [d_pad, m_pad], [s_src, h_src],
                                salt, keep, 'add', interpret)
@@ -548,8 +578,9 @@ def _gas_bwd(direction, interpret, res, g):
     def fn_src(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return tuple(gat_bwd_src(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, dsts[0], srcs[0], srcs[1], srcs[2],
-            srcs[3], dsts[1], **_kw(layout, spec_b, interp)))
+            layout.packed, layout.w, dsts[0], _pack(srcs[0]),
+            _pack(srcs[1]), srcs[2].astype(bwd.x_dtype), _pack(srcs[3]),
+            dsts[1], **_kw(layout, spec_b, interp)))
 
     dh, ds = _run_fwd_splits(
         bwd, fn_src, [s_pad, h_pad],
@@ -568,8 +599,9 @@ def _gas_bwd(direction, interpret, res, g):
     def fn_dst(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return gat_bwd_dst(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, srcs[0], dsts[0], dsts[1], dsts[2],
-            dsts[3], srcs[1], **_kw(layout, spec_f, interp))
+            layout.packed, layout.w, _pack(srcs[0]), dsts[0], dsts[1],
+            dsts[2], dsts[3], srcs[1].astype(fwd.x_dtype),
+            **_kw(layout, spec_f, interp))
 
     dd = _run_fwd_splits(fwd, fn_dst, [d_pad, m_pad, gnum_pad, gden_pad],
                          [s_src, h_src], salt, keep, 'add', interpret)
@@ -626,11 +658,12 @@ def _make_max2_kernel(src_block, dst_block, user_axis):
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
-                u = (_dot(oh_src, hs_ref[pl.ds(start, src_block), :])
+                hsb = hs_ref[pl.ds(start, src_block), :]
+                u = (_dot(oh_src.astype(hsb.dtype), hsb)
                      + _dot(oh_dst, hd_ref[:, :]))
                 logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
                 logit = jnp.where(wmask > 0, logit, NEG)
@@ -659,24 +692,24 @@ def _make_agg2_kernel(src_block, dst_block, user_axis):
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all, e_all, dst_all = [], [], []
+            rows_all, e_all = [], []
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
-                rows_s = _dot(oh_src, hs_ref[pl.ds(start, src_block), :])
+                hsb = hs_ref[pl.ds(start, src_block), :]
+                rows_s = _dot(oh_src.astype(hsb.dtype), hsb)
                 u = rows_s + _dot(oh_dst, hd_ref[:, :])
                 logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
                 m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
                 e = wmask * jnp.exp(logit - m_e)
                 rows_all.append(rows_s * e[:, None])
-                e_all.append(e)
-                dst_all.append(packed_ref[0, j, :] >> 16)
+                e_all.append(e[:, None])
 
             rows_cat = jnp.concatenate(rows_all, axis=0)
-            e_cat = jnp.concatenate(e_all)[:, None]
-            dst_cat = jnp.concatenate(dst_all)
+            e_cat = jnp.concatenate(e_all, axis=0)
+            dst_cat = packed_ref[0].reshape(-1) >> 16
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
@@ -706,31 +739,31 @@ def _make_bwd2_src_kernel(src_block, dst_block, user_axis):
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all, dst_all = [], []
+            rows_all = []
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
                 # this layout: hs on DST side (by b), hd/m/g on SRC side
                 rows_s = _dot(oh_dst, hs_ref[:, :])
-                u = rows_s + _dot(
-                    oh_src, hd_ref[pl.ds(start, src_block), :])
+                hdb = hd_ref[pl.ds(start, src_block), :]
+                u = rows_s + _dot(oh_src.astype(hdb.dtype), hdb)
                 logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
-                m_e = _dot(oh_src, m_ref[pl.ds(start, src_block), :])[:, 0]
+                m_e = _gather_src_scalar(m_ref, sb, src_local, src_block)
                 e = wmask * jnp.exp(logit - m_e)
-                g_rows = _dot(oh_src, gnum_ref[pl.ds(start, src_block), :])
-                gden_e = _dot(
-                    oh_src, gden_ref[pl.ds(start, src_block), :])[:, 0]
+                gb = gnum_ref[pl.ds(start, src_block), :]
+                g_rows = _dot(oh_src.astype(gb.dtype), gb)
+                gden_e = _gather_src_scalar(gden_ref, sb, src_local,
+                                            src_block)
                 de = jnp.sum(g_rows * rows_s, axis=1) + gden_e
                 dz = e * de
                 lam = _dleaky(u) * a_ref[:, :].T          # (CHUNK, d)
                 rows_all.append(g_rows * e[:, None]
                                 + lam * dz[:, None])
-                dst_all.append(packed_ref[0, j, :] >> 16)
 
             rows_cat = jnp.concatenate(rows_all, axis=0)
-            dst_cat = jnp.concatenate(dst_all)
+            dst_cat = packed_ref[0].reshape(-1) >> 16
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
@@ -762,14 +795,15 @@ def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all, dst_all = [], []
+            rows_all = []
             da_acc = jnp.zeros_like(da_ref)
             for j in range(GROUP):
-                sb, oh_src, oh_dst, wmask = _chunk_scalars(
+                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
-                rows_s = _dot(oh_src, hs_ref[pl.ds(start, src_block), :])
+                hsb = hs_ref[pl.ds(start, src_block), :]
+                rows_s = _dot(oh_src.astype(hsb.dtype), hsb)
                 u = rows_s + _dot(oh_dst, hd_ref[:, :])
                 lk = _leaky(u)
                 logit = _dot(lk, a_ref[:, :])[:, 0]
@@ -780,12 +814,11 @@ def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
                 dz = e * (jnp.sum(g_rows * rows_s, axis=1) + gden_e)
                 lam = _dleaky(u) * a_ref[:, :].T
                 rows_all.append(lam * dz[:, None])
-                dst_all.append(packed_ref[0, j, :] >> 16)
                 da_acc += jnp.sum(lk * dz[:, None], axis=0,
                                   keepdims=True)
 
             rows_cat = jnp.concatenate(rows_all, axis=0)
-            dst_cat = jnp.concatenate(dst_all)
+            dst_cat = packed_ref[0].reshape(-1) >> 16
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
@@ -914,8 +947,9 @@ def gatv2_edge_max(direction, interpret, op, hs_src, hd_dst, a_col, salt,
 
     def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return gatv2_max(layout.group_ptr, layout.chunk_sb, salt_a,
-                         keep_a, off_a, layout.packed, layout.w, srcs[0],
-                         dsts[0], a_col, **_kw(layout, spec, interp))
+                         keep_a, off_a, layout.packed, layout.w,
+                         srcs[0].astype(tiled.x_dtype), dsts[0], a_col,
+                         **_kw(layout, spec, interp))
 
     m = _run_fwd_splits(tiled, fn, [hd_pad], [hs_src], salt, keep, 'max',
                         interpret)
@@ -950,8 +984,8 @@ def gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst, a_col,
     def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return tuple(gatv2_agg(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, srcs[0], dsts[0], a_col, dsts[1],
-            **_kw(layout, spec, interp)))
+            layout.packed, layout.w, srcs[0].astype(fwd.x_dtype),
+            dsts[0], a_col, dsts[1], **_kw(layout, spec, interp)))
 
     num, den = _run_fwd_splits(fwd, fn, [hd_pad, m_pad], [hs_src],
                                salt, keep, 'add', interpret)
@@ -978,8 +1012,10 @@ def _g2s_bwd(direction, interpret, res, g):
     def fn_src(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return gatv2_bwd_src(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, dsts[0], srcs[0], a_col, srcs[1],
-            srcs[2], srcs[3], **_kw(layout, spec_b, interp))
+            layout.packed, layout.w, dsts[0],
+            srcs[0].astype(bwd.x_dtype), a_col, _pack(srcs[1]),
+            srcs[2].astype(bwd.x_dtype), _pack(srcs[3]),
+            **_kw(layout, spec_b, interp))
 
     dhs = _run_fwd_splits(bwd, fn_src, [hs_pad],
                           [hd_dst, m_dst, g_num, g_den], salt, keep,
@@ -996,8 +1032,9 @@ def _g2s_bwd(direction, interpret, res, g):
     def fn_dst(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return tuple(gatv2_bwd_dst(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, srcs[0], dsts[0], a_col, dsts[1],
-            dsts[2], dsts[3], **_kw(layout, spec_f, interp)))
+            layout.packed, layout.w, srcs[0].astype(fwd.x_dtype),
+            dsts[0], a_col, dsts[1], dsts[2], dsts[3],
+            **_kw(layout, spec_f, interp)))
 
     dhd, da = _run_fwd_splits(fwd, fn_dst,
                               [hd_pad, m_pad, gnum_pad, gden_pad],

@@ -524,7 +524,7 @@ class TiledSpMM:
                  user_axis: str, interpret: bool = False,
                  src_block: int | None = None,
                  dst_block: int | None = None,
-                 x_dtype=None):
+                 x_dtype=None, vmem_budget: int | None = None):
         self.n_src = int(n_src)
         self.n_dst = int(n_dst)
         self.user_axis = user_axis
@@ -553,7 +553,10 @@ class TiledSpMM:
         while int(n_src) % src_block:
             src_block //= 2
         self.src_block, self.dst_block = src_block, dst_block
-        bytes_per_split = self.VMEM_X_BUDGET
+        # smaller budgets -> more source splits: the GAT attention kernels
+        # (ops/pallas_gat.py) hold up to two full-slice d-dim tables in
+        # VMEM per split, so they build their layouts with a halved budget
+        bytes_per_split = vmem_budget or self.VMEM_X_BUDGET
         rows_per_split = max(src_block,
                              (bytes_per_split // (d * self.x_dtype.itemsize))
                              // src_block * src_block)
@@ -716,7 +719,8 @@ class PallasGraphOp:
 
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, d: int,
-                 interpret: bool = False, x_dtype=None):
+                 interpret: bool = False, x_dtype=None,
+                 vmem_budget: int | None = None):
         assert n_users_t % SRC_BLOCK == 0 and n_items_t % SRC_BLOCK == 0, \
             'tables must be padded to SRC_BLOCK for the pallas backend'
         eu = np.asarray(edge_user)
@@ -724,10 +728,10 @@ class PallasGraphOp:
         w = np.asarray(edge_weight)
         self.l_i2u = TiledSpMM(ei, eu, w, n_items_t, n_users_t, d,
                                user_axis='dst', interpret=interpret,
-                               x_dtype=x_dtype)
+                               x_dtype=x_dtype, vmem_budget=vmem_budget)
         self.l_u2i = TiledSpMM(eu, ei, w, n_users_t, n_items_t, d,
                                user_axis='src', interpret=interpret,
-                               x_dtype=x_dtype)
+                               x_dtype=x_dtype, vmem_budget=vmem_budget)
 
     def weights(self, mask_key=None, dropout: float = 0.0):
         """Returns ((salt, keep) for i->u, (salt, keep) for u->i)."""
