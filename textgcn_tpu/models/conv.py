@@ -26,9 +26,12 @@ their degree normalizations are separable — ``D̂_dst^{-1/2} A D̂_src^{-1/2}`
 is two table-row scalings around an *unweighted* masked SpMM — so one
 unit-weight ``PallasGraphOp`` serves every layer, with edge dropout as the
 kernel's fused (user, item, salt) hash mask and the mask-dependent degrees
-as sorted scalar segment-sums over precomputed edge orderings.  The
-segment-op formulation above remains the oracle-tested fallback (CPU,
-``aggr='max'``, attention convs, and the mesh path).
+as sorted scalar segment-sums over precomputed edge orderings.
+GAT/GATv2 run the block-sparse softmax-attention pipeline over the same
+tile layout (``ops/pallas_gat``: max pass + fused num/den aggregation +
+hand-derived two-pass VJP; measured 3.2-3.5x the segment path at the
+bench shape).  The segment-op formulation above remains the
+oracle-tested fallback (CPU, ``aggr='max'``, and the mesh path).
 
 Edge dropout during training mirrors the reference's
 ``_dropout_norm_matrix`` (``rejected_models.py:29``): an independent
