@@ -23,13 +23,19 @@ def mesh():
     return make_mesh((4, 2))
 
 
+# fixture build shape; the byte-bound assertions below derive from these
+AUDIT_BATCH = 32
+AUDIT_EMB = 16
+
+
 @pytest.fixture(scope='module')
 def audits(mesh, dummy_dir):
     os.environ.setdefault('TEXTGCN_TPU_TEXT_ENCODER', 'stub')
     out = {}
     for name in ('lgcn', 'ltr_linear'):
         cfg, data, model = _build(name, str(dummy_dir), mesh,
-                                  batch_size=32, emb_size=16, k=(3,))
+                                  batch_size=AUDIT_BATCH,
+                                  emb_size=AUDIT_EMB, k=(3,))
         out[name] = audit_model(mesh, cfg, data, model)
     return out
 
@@ -63,7 +69,7 @@ def test_cached_ego_step_is_nearly_communication_free(audits):
     # lookups gather (B, d) rows cross-device — a few KB that do NOT
     # scale with the graph — plus the scalar loss all-reduce.  Table-
     # shaped traffic (rows x d x 4 per table) must stay out.
-    batch_rows = 16 * 16 * 4          # B=16, d=16, f32 (audit fixture)
+    batch_rows = AUDIT_BATCH * AUDIT_EMB * 4          # one (B, d) f32 gather
     assert a['cached_ego_step']['bytes'] <= 8 * batch_rows + 1024, \
         a['cached_ego_step']
     # the refresh carries ALL the propagation traffic (6 table-shaped
@@ -96,7 +102,7 @@ def test_propagation_reduces_via_reduce_scatter(audits, dummy_dir):
             step
         # all-gathers are batch-shaped ego lookups (B x d rows), never a
         # full-table re-materialization
-        b_times_d = 16 * 16 * 4                # audit fixture B=16, d=16
+        b_times_d = AUDIT_BATCH * AUDIT_EMB * 4
         assert step.get('all-gather', {}).get('bytes', 0) <= \
             16 * b_times_d, step
 

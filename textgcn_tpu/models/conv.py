@@ -307,6 +307,23 @@ class ConvModel(LightGCN):
                            for k in keys]
         return params
 
+    def _layer_combine(self, params, step):
+        """Run ``step(lp, u, i) -> (u, i)`` per conv layer and apply the
+        shared combination (mean of layers, or last layer with
+        ``--single``) — ONE implementation for the segment, SpMM-kernel
+        and attention-kernel paths so the rule can never diverge between
+        them."""
+        u, i = params['user_emb'], params['item_emb']
+        acc_u, acc_i = u, i
+        for lp in params['convs']:
+            u, i = step(lp, u, i)
+            acc_u = acc_u + u
+            acc_i = acc_i + i
+        if self.single:
+            return u, i
+        inv = 1.0 / (self.n_layers + 1)
+        return acc_u * inv, acc_i * inv
+
     def representation(self, params, *, training: bool = False,
                        dropout_key=None):
         if self._use_kernel():
@@ -324,18 +341,13 @@ class ConvModel(LightGCN):
                 jnp.float32)
         else:
             m_u = m_i = ones
-        u, i = params['user_emb'], params['item_emb']
-        acc_u, acc_i = u, i
-        for layer_params in params['convs']:
-            u, i = conv_layer(layer_params, self.conv, self.aggr, u, i,
+
+        def step(lp, u, i):
+            return conv_layer(lp, self.conv, self.aggr, u, i,
                               e['edge_user'], e['edge_item'], m_u, m_i,
                               e['edge_weight'])
-            acc_u = acc_u + u
-            acc_i = acc_i + i
-        if self.single:
-            return u, i
-        inv = 1.0 / (self.n_layers + 1)
-        return acc_u * inv, acc_i * inv
+
+        return self._layer_combine(params, step)
 
     def _kernel_representation(self, params, training, dropout_key):
         """GCN / GraphSAGE(mean|sum) propagation on the tiled one-hot MXU
@@ -372,34 +384,28 @@ class ConvModel(LightGCN):
         interpret = self.backend == 'pallas_interpret'
         if self.conv in ('gat', 'gatv2'):
             from ..ops.pallas_gat import gat_direction, gatv2_direction
-            u, i = params['user_emb'], params['item_emb']
-            acc_u, acc_i = u, i
-            for lp in params['convs']:
+
+            def step(lp, u, i):
                 if self.conv == 'gat':
                     h_u, h_i = u @ lp['w'], i @ lp['w']
                     s_u, d_u = h_u @ lp['a_src'], h_u @ lp['a_dst']
                     s_i, d_i = h_i @ lp['a_src'], h_i @ lp['a_dst']
-                    u = gat_direction(op, 'to_user', h_i, h_u, s_i, s_u,
-                                      d_u, salt_u, keep,
-                                      interpret=interpret) + lp['b']
-                    i = gat_direction(op, 'to_item', h_u, h_i, s_u, s_i,
-                                      d_i, salt_i, keep,
-                                      interpret=interpret) + lp['b']
-                else:
-                    hs_u, hs_i = u @ lp['w_src'], i @ lp['w_src']
-                    hd_u, hd_i = u @ lp['w_dst'], i @ lp['w_dst']
-                    u = gatv2_direction(op, 'to_user', hs_i, hs_u, hd_u,
+                    return (gat_direction(op, 'to_user', h_i, h_u, s_i,
+                                          s_u, d_u, salt_u, keep,
+                                          interpret=interpret) + lp['b'],
+                            gat_direction(op, 'to_item', h_u, h_i, s_u,
+                                          s_i, d_i, salt_i, keep,
+                                          interpret=interpret) + lp['b'])
+                hs_u, hs_i = u @ lp['w_src'], i @ lp['w_src']
+                hd_u, hd_i = u @ lp['w_dst'], i @ lp['w_dst']
+                return (gatv2_direction(op, 'to_user', hs_i, hs_u, hd_u,
                                         lp['a'], salt_u, keep,
-                                        interpret=interpret) + lp['b']
-                    i = gatv2_direction(op, 'to_item', hs_u, hs_i, hd_i,
+                                        interpret=interpret) + lp['b'],
+                        gatv2_direction(op, 'to_item', hs_u, hs_i, hd_i,
                                         lp['a'], salt_i, keep,
-                                        interpret=interpret) + lp['b']
-                acc_u = acc_u + u
-                acc_i = acc_i + i
-            if self.single:
-                return u, i
-            inv = 1.0 / (self.n_layers + 1)
-            return acc_u * inv, acc_i * inv
+                                        interpret=interpret) + lp['b'])
+
+            return self._layer_combine(params, step)
 
         # surviving degrees under each direction's mask (user-sorted
         # canonical order for users, item-sorted copy for items)
@@ -418,36 +424,31 @@ class ConvModel(LightGCN):
         def ksum_to_item(x):
             return op.to_item(x, (salt_i, keep)) * keep
 
-        u, i = params['user_emb'], params['item_emb']
-        acc_u, acc_i = u, i
         if self.conv == 'gcn':
             dhu, dhi = deg_u + 1.0, deg_i + 1.0
             ru = jax.lax.rsqrt(dhu)[:, None]
             ri = jax.lax.rsqrt(dhi)[:, None]
-        else:
+
+            def step(lp, u, i):
+                h_u, h_i = u @ lp['w'], i @ lp['w']
+                return (ru * ksum_to_user(h_i * ri) + h_u * (ru * ru)
+                        + lp['b'],
+                        ri * ksum_to_item(h_u * ru) + h_i * (ri * ri)
+                        + lp['b'])
+        else:   # graphsage mean|sum
             du = jnp.maximum(deg_u, 1.0)[:, None]
             di = jnp.maximum(deg_i, 1.0)[:, None]
-        for lp in params['convs']:
-            if self.conv == 'gcn':
-                h_u, h_i = u @ lp['w'], i @ lp['w']
-                u = (ru * ksum_to_user(h_i * ri) + h_u * (ru * ru)
-                     + lp['b'])
-                i = (ri * ksum_to_item(h_u * ru) + h_i * (ri * ri)
-                     + lp['b'])
-            else:   # graphsage mean|sum
+
+            def step(lp, u, i):
                 nbr_u = ksum_to_user(i)
                 nbr_i = ksum_to_item(u)
                 if self.aggr == 'mean':
                     nbr_u = nbr_u / du
                     nbr_i = nbr_i / di
-                u = (nbr_u @ lp['w_nbr'] + lp['b'] + u @ lp['w_root'])
-                i = (nbr_i @ lp['w_nbr'] + lp['b'] + i @ lp['w_root'])
-            acc_u = acc_u + u
-            acc_i = acc_i + i
-        if self.single:
-            return u, i
-        inv = 1.0 / (self.n_layers + 1)
-        return acc_u * inv, acc_i * inv
+                return (nbr_u @ lp['w_nbr'] + lp['b'] + u @ lp['w_root'],
+                        nbr_i @ lp['w_nbr'] + lp['b'] + i @ lp['w_root'])
+
+        return self._layer_combine(params, step)
 
     def propagate_rest(self, params, dropout_key=None):  # pragma: no cover
         raise NotImplementedError(

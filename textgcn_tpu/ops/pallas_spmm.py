@@ -481,6 +481,20 @@ _F1 = np.uint32(0x7FEB352D)
 _F2 = np.uint32(0x846CA68B)
 
 
+def hash_dropout_salts(mask_key=None, dropout: float = 0.0):
+    """Per-direction (salt, keep) pairs for the hash dropout mask — the
+    single implementation behind every backend's ``weights()`` (single-
+    chip Pallas, mesh Pallas, mesh segment-sum), so the mask stream can
+    never diverge between them."""
+    if dropout <= 0.0 or mask_key is None:
+        zero = jnp.uint32(0)
+        one = jnp.float32(1.0)
+        return (zero, one), (zero, one)
+    salts = jax.random.bits(mask_key, (2,), jnp.uint32)
+    keep = jnp.float32(1.0 - dropout)
+    return (salts[0], keep), (salts[1], keep)
+
+
 def edge_dropout_scale(user_ids, item_ids, salt, keep):
     """Per-edge keep/(1-p) scale as a pure function of (user, item, salt).
 
@@ -735,13 +749,7 @@ class PallasGraphOp:
 
     def weights(self, mask_key=None, dropout: float = 0.0):
         """Returns ((salt, keep) for i->u, (salt, keep) for u->i)."""
-        if dropout <= 0.0 or mask_key is None:
-            zero = jnp.uint32(0)
-            one = jnp.float32(1.0)
-            return (zero, one), (zero, one)
-        salts = jax.random.bits(mask_key, (2,), jnp.uint32)
-        keep = jnp.float32(1.0 - dropout)
-        return (salts[0], keep), (salts[1], keep)
+        return hash_dropout_salts(mask_key, dropout)
 
     def to_user(self, item_emb, w_pair):
         salt, keep = w_pair

@@ -177,15 +177,11 @@ class MeshXlaGraphOp:
         return fn(*part.arrays(), x, salt, keep)
 
     def weights(self, mask_key=None, dropout: float = 0.0):
-        """(salt, keep) per direction — the hash mask evaluates
-        identically in forward and transpose edge order."""
-        if dropout <= 0.0 or mask_key is None:
-            zero = jnp.uint32(0)
-            one = jnp.float32(1.0)
-            return (zero, one), (zero, one)
-        salts = jax.random.bits(mask_key, (2,), jnp.uint32)
-        keep = jnp.float32(1.0 - dropout)
-        return (salts[0], keep), (salts[1], keep)
+        """(salt, keep) per direction — shared draw
+        (``pallas_spmm.hash_dropout_salts``) so every backend's mask
+        stream is identical."""
+        from ..ops.pallas_spmm import hash_dropout_salts
+        return hash_dropout_salts(mask_key, dropout)
 
     def to_user(self, item_emb, w_pair):
         salt, keep = w_pair

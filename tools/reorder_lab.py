@@ -63,7 +63,10 @@ def clustered_edges(n_users, n_items, avg_deg, n_clusters=64, p_in=0.9,
     c = cu[eu]
     in_cluster = (rng.rand(n_edges) < p_in) & (sizes[c] > 0)
     r = rng.randint(0, 1 << 30, n_edges)
-    ei_in = order[starts[c] + r % np.maximum(sizes[c], 1)]
+    # clamp: empty clusters have starts[c] == n_items (the branch is
+    # discarded by the mask, but np.where evaluates it eagerly)
+    ei_in = order[np.minimum(starts[c] + r % np.maximum(sizes[c], 1),
+                             n_items - 1)]
     ei_out = rng.randint(0, n_items, n_edges)
     ei = np.where(in_cluster, ei_in, ei_out)
 
@@ -253,12 +256,6 @@ def main(argv=None):
             st.update(ordering=name, block_cfg=blocks,
                       pad_factor=round(st['chunks'] * 128 / n_edges, 3))
             if args.time:
-                x = jnp.asarray(
-                    np.random.RandomState(1).randn(
-                        op.splits[0][1] * len(op.splits)
-                        if len(op.splits) > 1 else
-                        -(-n_items // 4096) * 4096,
-                        args.d).astype(np.float32))
                 # feed the full padded source table like production
                 n_src_t = -(-n_items // 4096) * 4096
                 x = jnp.asarray(np.random.RandomState(1).randn(

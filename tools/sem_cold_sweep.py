@@ -68,6 +68,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     os.environ.setdefault('TEXTGCN_TPU_TEXT_ENCODER', 'stub')
+    # resolved before the chdir below, so relative --data keeps working
+    args.data = os.path.abspath(args.data)
     if args.quick:
         args.users, args.items, args.epochs = 400, 300, 6
 
