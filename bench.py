@@ -31,11 +31,13 @@ BATCH = 2048
 DROPOUT = 0.4
 
 
-def synth_edges(seed=0):
+def synth_edges(seed=0, n_users=None, n_items=None, avg_deg=None):
     # single source of truth for the synthetic graph: the scale sweep's
-    # generator, at this bench's fixed S1 shape
+    # generator, defaulting to this bench's fixed S1 shape (shape
+    # overrides serve tools/conv_scale_lab.py's S2/S3 sweeps)
     from tools.scale_bench import synth_edges as _synth
-    return _synth(N_USERS, N_ITEMS, AVG_DEG, seed)
+    return _synth(n_users or N_USERS, n_items or N_ITEMS,
+                  avg_deg or AVG_DEG, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -225,26 +227,29 @@ def _bound_repr(model, params, cap):
         return model.representation(params, training=False)
 
 
-def synth_interactions():
+def synth_interactions(n_users=None, n_items=None, avg_deg=None):
     """In-memory InteractionData over the synthetic graph (no TSV round
     trip) so model-level benches use the real model/sampler paths."""
     from textgcn_tpu.data.core import Graph, InteractionData
 
-    eu, ei, w = synth_edges()
+    n_users = n_users or N_USERS
+    n_items = n_items or N_ITEMS
+    eu, ei, w = synth_edges(n_users=n_users, n_items=n_items,
+                            avg_deg=avg_deg)
     n_train = len(eu)
-    user_degree = np.bincount(eu, minlength=N_USERS).astype(np.int32)
-    item_degree = np.bincount(ei, minlength=N_ITEMS).astype(np.int32)
-    graph = Graph(N_USERS, N_ITEMS, eu, ei, w, user_degree, item_degree)
+    user_degree = np.bincount(eu, minlength=n_users).astype(np.int32)
+    item_degree = np.bincount(ei, minlength=n_items).astype(np.int32)
+    graph = Graph(n_users, n_items, eu, ei, w, user_degree, item_degree)
     max_deg = max(int(user_degree.max()), 1)
-    pos_padded = np.full((N_USERS, max_deg), N_ITEMS, np.int32)
+    pos_padded = np.full((n_users, max_deg), n_items, np.int32)
     order = np.lexsort((ei, eu))
     su, si = eu[order], ei[order]
-    row_starts = np.searchsorted(su, np.arange(N_USERS))
+    row_starts = np.searchsorted(su, np.arange(n_users))
     col_idx = np.arange(n_train) - row_starts[su]
     pos_padded[su, col_idx] = si
-    test_users = np.arange(min(2048, N_USERS), dtype=np.int32)
+    test_users = np.arange(min(2048, n_users), dtype=np.int32)
     return InteractionData(
-        n_users=N_USERS, n_items=N_ITEMS, n_train=n_train, n_test=0,
+        n_users=n_users, n_items=n_items, n_train=n_train, n_test=0,
         graph=graph, pos_padded=pos_padded, pos_degree=user_degree.copy(),
         test_users=test_users,
         true_test=[[0] for _ in test_users],
