@@ -50,6 +50,8 @@ a registry alias.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -285,14 +287,26 @@ class ConvModel(LightGCN):
                 ones = np.ones(len(np.asarray(eu)), np.float32)
                 # the attention kernels hold up to two full-slice d-dim
                 # tables per split (hd + g_num in GATv2's backward), so
-                # they budget half the VMEM per split
-                budget = (3 * 1024 * 1024
-                          if self.conv in ('gat', 'gatv2') else None)
+                # they budget less VMEM per split than the SpMM's 6 MB:
+                # GAT 3 MB, GATv2 2 MB (its bwd_src ran 844 KB over the
+                # 16 MB scoped-VMEM limit at 3 MB on the planner's
+                # sparse-regime S2 blocks).  Planner tile blocks are kept:
+                # capping them at (512, 512) fits VMEM too but costs 1.7x
+                # at S2, where the bigger blocks halve tile padding
+                # (tools/conv_scale_lab.py, SCALE.md "Conv family").
+                attention = self.conv in ('gat', 'gatv2')
+                budget = None
+                block = os.environ.get('TEXTGCN_TPU_ATT_BLOCK')
+                block = int(block) if block else None
+                if attention:
+                    default = (2 if self.conv == 'gatv2' else 3) * 2**20
+                    budget = int(os.environ.get('TEXTGCN_TPU_ATT_BUDGET',
+                                                default))
                 self._conv_op = PallasGraphOp(
                     eu, ei, ones, self.n_users_t, self.n_items_t,
                     self.cfg.emb_size,
                     interpret=self.backend == 'pallas_interpret',
-                    vmem_budget=budget)
+                    vmem_budget=budget, src_block=block, dst_block=block)
         return self._conv_op
 
     @conv_op.setter

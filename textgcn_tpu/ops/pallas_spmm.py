@@ -734,18 +734,26 @@ class PallasGraphOp:
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, d: int,
                  interpret: bool = False, x_dtype=None,
-                 vmem_budget: int | None = None):
+                 vmem_budget: int | None = None,
+                 src_block: int | None = None,
+                 dst_block: int | None = None):
         assert n_users_t % SRC_BLOCK == 0 and n_items_t % SRC_BLOCK == 0, \
             'tables must be padded to SRC_BLOCK for the pallas backend'
         eu = np.asarray(edge_user)
         ei = np.asarray(edge_item)
         w = np.asarray(edge_weight)
+        # src/dst_block=None -> the sweep-calibrated planner; explicit caps
+        # serve the attention kernels (ops/pallas_gat.py), whose in-kernel
+        # one-hot scratch scales with block area and overflows the 16 MB
+        # scoped-VMEM limit at the planner's sparse-regime 1024 blocks
         self.l_i2u = TiledSpMM(ei, eu, w, n_items_t, n_users_t, d,
                                user_axis='dst', interpret=interpret,
-                               x_dtype=x_dtype, vmem_budget=vmem_budget)
+                               x_dtype=x_dtype, vmem_budget=vmem_budget,
+                               src_block=src_block, dst_block=dst_block)
         self.l_u2i = TiledSpMM(eu, ei, w, n_users_t, n_items_t, d,
                                user_axis='src', interpret=interpret,
-                               x_dtype=x_dtype, vmem_budget=vmem_budget)
+                               x_dtype=x_dtype, vmem_budget=vmem_budget,
+                               src_block=src_block, dst_block=dst_block)
 
     def weights(self, mask_key=None, dropout: float = 0.0):
         """Returns ((salt, keep) for i->u, (salt, keep) for u->i)."""
