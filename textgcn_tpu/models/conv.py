@@ -28,8 +28,8 @@ unit-weight ``PallasGraphOp`` serves every layer, with edge dropout as the
 kernel's fused (user, item, salt) hash mask and the mask-dependent degrees
 as sorted scalar segment-sums over precomputed edge orderings.
 GAT/GATv2 run the block-sparse softmax-attention pipeline over the same
-tile layout (``ops/pallas_gat``: max pass + fused num/den aggregation +
-hand-derived two-pass VJP; measured 3.2-3.5x the segment path at the
+tile layout (``ops/pallas_gat``: fused online-softmax forward +
+hand-derived two-pass VJP; measured 3.4-3.9x the segment path at the
 bench shape).  The segment-op formulation above remains the
 oracle-tested fallback (CPU, ``aggr='max'``, and the mesh path).
 
@@ -267,11 +267,10 @@ class ConvModel(LightGCN):
 
     def _use_kernel(self) -> bool:
         """GCN / GraphSAGE(mean|sum) aggregate through the tiled one-hot
-        MXU kernel; GAT runs the block-sparse softmax-attention kernels
-        (``ops/pallas_gat``: max pass + fused num/den aggregation +
+        MXU kernel; GAT and GATv2 run the block-sparse softmax-attention
+        kernels (``ops/pallas_gat``: fused online-softmax forward +
         hand-derived two-pass VJP).  Max-aggregation SAGE (not a matmul)
-        and GATv2 (per-edge d-dim leaky inside the logit) keep the
-        segment-op path."""
+        keeps the segment-op path."""
         return (self.backend in ('pallas', 'pallas_interpret')
                 and (self.conv in ('gcn', 'gat', 'gatv2')
                      or (self.conv == 'graphsage' and self.aggr != 'max')))

@@ -8,18 +8,25 @@ torch_geometric) need a per-destination softmax over incoming edges:
 
 Per-edge logits are NOT separable (the leaky-ReLU couples the endpoints),
 so this cannot ride the plain SpMM kernel's static weights.  Instead the
-attention runs as its own two-pass block-sparse pipeline over the SAME
-tiled layout as ``ops/pallas_spmm`` (packed locals, group metadata,
+attention runs as its own block-sparse pipeline over the SAME tiled
+layout as ``ops/pallas_spmm`` (packed locals, group metadata,
 scalar-prefetched group pointers):
 
-* **max pass** (`_max_kernel`): per-dst running max of masked logits —
-  the softmax shift.  Scalars gather via tiny one-hot matmuls
-  (s per edge: ``onehot(src_local) @ s_block``), the max reduces on the
-  VPU over a (dst_block, GROUP·CHUNK) masked select.
-* **aggregate pass** (`_agg_kernel`): e_ij from the gathered scalars +
-  the in-kernel (user, item, salt) hash mask, then the familiar merged
-  one-hot MXU scatter accumulates BOTH the weighted-message numerator
-  (dst_block, d) and the denominator column (dst_block, 1) in one grid.
+* **fused forward** (`_agg_online_kernel`): ONE online-softmax pass
+  (flash-attention style) computes the per-dst max shift AND the
+  (numerator, denominator) accumulators together, rescaling by
+  ``exp(m_old - m_new)`` as the max advances — the chunk decode (hash
+  mask + one-hot construction, the dominant per-edge cost) runs once
+  instead of twice.  Scalars gather via tiny one-hot matmuls
+  (``onehot(src_local) @ s_block``); the merged one-hot MXU scatter
+  accumulates BOTH the weighted-message numerator (dst_block, d) and
+  the denominator column (dst_block, 1) in one grid.  Splits CARRY the
+  (num, den, m) accumulators through the kernel (copy-in at each
+  block's first visit) — the online recurrence continues across splits,
+  so no full-table per-split combine exists in XLA (at S3's 31-split
+  tables a combine tree held several (n_dst_pad, d) buffers live and
+  exceeded HBM).  A third output returns the edge max for the
+  self-loop fold and the backward recompute.
 * **backward** is hand-derived (softmax VJP with the shift m
   stop-gradded — exact, by shift invariance) and runs as two more
   passes: `_bwd_src_kernel` over the TRANSPOSE tiles computes
@@ -53,6 +60,13 @@ from .pallas_spmm import CHUNK, GROUP, PRECISION, _F1, _F2, _M1, _M2, \
 
 NEG = -1e30   # python literals: inlined into kernels, not captured
 SLOPE = 0.2   # torch_geometric LeakyReLU default
+
+# the attention kernels sit near Mosaic's default 16 MB scoped-VMEM cap
+# at the planner's sparse-regime 1024 tile blocks (in-kernel one-hot
+# scratch scales with block area; the split-carry inputs add ~0.5 MB) —
+# raise the cap to 32 MB, comfortably under the 128 MB physical VMEM
+# shared with the pipeline's double-buffered windows
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def _hash_keep(uid, iid, salt, keep):
@@ -129,57 +143,44 @@ def _gather_src_scalar(ref, sb, src_local, src_block):
     return jnp.sum(jnp.where(lanesel, rows, 0.0), axis=1)
 
 
-def _make_max_kernel(src_block, dst_block, user_axis):
+def _make_agg_online_kernel(src_block, dst_block, user_axis):
+    """Fused forward: online-softmax aggregation (flash-attention style).
+
+    One pass over the tiles computes the per-dst running max AND the
+    (numerator, denominator) accumulators, rescaling the accumulators by
+    ``exp(m_old - m_new)`` whenever the max advances.  The chunk decode
+    (hash mask + one-hot construction) and the scalar gathers run once
+    instead of twice; measured 5-8% on the full train step vs the
+    separate max pass, plus the split-carry memory win (docs/KERNEL.md).
+    """
     def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
-                packed_ref, w_ref, s_ref, d_ref, m_ref):
+                packed_ref, w_ref, s_ref, d_ref, x_ref,
+                num_in_ref, den_in_ref, m_in_ref,
+                num_ref, den_ref, m_ref):
         b = pl.program_id(0)
         t = pl.program_id(1)
 
+        # splits CARRY the accumulators through the kernel (copy-in at
+        # the block's first visit) instead of combining full-table
+        # per-split outputs in XLA — at S3's 31-split tables the combine
+        # tree held several (n_dst_pad, d) buffers live at once and blew
+        # HBM (16.5 G / 15.75 G at compile), and the carry also halves
+        # the split-boundary HBM traffic
         @pl.when(t == 0)
         def _():
-            m_ref[:] = jnp.full_like(m_ref, NEG)
+            num_ref[:] = num_in_ref[:]
+            den_ref[:] = den_in_ref[:]
+            m_ref[:] = m_in_ref[:]
 
         g = ptr_ref[b] + t
 
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            # phase A: decode each chunk ONCE, settle the group's max
+            rows_l, z_l, w_l = [], [], []
+            m_cur = m_ref[:]
             for j in range(GROUP):                    # static unroll
-                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
-                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
-                    src_block, dst_block, user_axis)
-                s_e = _gather_src_scalar(s_ref, sb, src_local,
-                                         src_block)
-                d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
-                logit = jnp.where(wmask > 0, _leaky(s_e + d_e), NEG)
-                # per-dst max over this chunk's edges (VPU select + max)
-                contrib = jnp.max(
-                    jnp.where(oh_dst.T > 0, logit[None, :], NEG),
-                    axis=1, keepdims=True)
-                m_ref[:] = jnp.maximum(m_ref[:], contrib)
-
-    return _kernel
-
-
-def _make_agg_kernel(src_block, dst_block, user_axis):
-    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
-                packed_ref, w_ref, s_ref, d_ref, m_ref, x_ref,
-                num_ref, den_ref):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            num_ref[:] = jnp.zeros_like(num_ref)
-            den_ref[:] = jnp.zeros_like(den_ref)
-
-        g = ptr_ref[b] + t
-
-        @pl.when(g < ptr_ref[b + 1])
-        def _():
-            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all, e_all = [], []
-            for j in range(GROUP):
                 sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
@@ -189,9 +190,34 @@ def _make_agg_kernel(src_block, dst_block, user_axis):
                 s_e = _gather_src_scalar(s_ref, sb, src_local,
                                          src_block)
                 d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
-                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
-                e = wmask * jnp.exp(_leaky(s_e + d_e) - m_e)
-                rows_all.append(rows * e[:, None])
+                # masked logits carry NEG so the exp below is exact even
+                # for a dst whose edges are ALL masked (m stays NEG)
+                z = jnp.where(wmask > 0, _leaky(s_e + d_e), NEG)
+                # per-dst max over this chunk (VPU select + max)
+                m_cur = jnp.maximum(m_cur, jnp.max(
+                    jnp.where(oh_dst.T > 0, z[None, :], NEG),
+                    axis=1, keepdims=True))
+                rows_l.append(rows)
+                z_l.append(z)
+                w_l.append(wmask)
+            # rescale prior accumulators to the advanced shift
+            r = jnp.exp(m_ref[:] - m_cur)
+            num_ref[:] = num_ref[:] * r
+            den_ref[:] = den_ref[:] * r
+            m_ref[:] = m_cur
+            # phase B: e against the settled max; ONE merged scatter.
+            # oh_dst rebuilds from the metadata tile (one iota compare)
+            # instead of staying live across phases — keeps the scratch
+            # at the two-pass kernel's level.
+            rows_all, e_all = [], []
+            for j in range(GROUP):
+                dst_local = packed_ref[0, j, :] >> 16
+                oh_dst = (dst_local[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, dst_block), 1)) \
+                    .astype(jnp.float32)
+                m_e = _dot(oh_dst, m_cur)[:, 0]
+                e = w_l[j] * jnp.exp(z_l[j] - m_e)
+                rows_all.append(rows_l[j] * e[:, None])
                 e_all.append(e[:, None])
 
             # 2-D concats only (Mosaic cannot concat 1-D vectors past the
@@ -246,7 +272,12 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
                 s_e = _dot(oh_dst, s_ref[:, :])[:, 0]
                 h_rows = _dot(oh_dst, h_ref[:, :])
                 z = s_e + d_e
-                e = wmask * jnp.exp(_leaky(z) - m_e)
+                # masked logits -> NEG before the shift: with the fused
+                # forward, m is the EDGE max and stays NEG for a dst
+                # whose incident edges are all dropout-masked — a bare
+                # exp(leaky(z) - NEG) would be inf (0*inf = NaN)
+                zm = jnp.where(wmask > 0, _leaky(z), NEG)
+                e = wmask * jnp.exp(zm - m_e)
                 de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
                 dz = e * de * _dleaky(z)
                 grows_all.append(g_rows * e[:, None])
@@ -297,7 +328,8 @@ def _make_bwd_dst_kernel(src_block, dst_block, user_axis):
                 d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
                 m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
                 z = s_e + d_e
-                e = wmask * jnp.exp(_leaky(z) - m_e)
+                zm = jnp.where(wmask > 0, _leaky(z), NEG)  # see bwd_src
+                e = wmask * jnp.exp(zm - m_e)
                 de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
                 dz_all.append((e * de * _dleaky(z))[:, None])
 
@@ -334,50 +366,37 @@ def _by_dst(width):
 @functools.partial(jax.jit, static_argnames=(
     'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
     'interpret'))
-def gat_max(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, *,
-            n_dst_blocks, max_groups, src_block, dst_block, user_axis,
-            interpret=False):
-    meta = _meta_specs(packed.shape[0])
-    return pl.pallas_call(
-        _make_max_kernel(src_block, dst_block, user_axis),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_dst_blocks, max_groups),
-            in_specs=[meta, meta, _full(s.shape),
-                      _by_dst((dst_block, 1))],
-            out_specs=_by_dst((dst_block, 1)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
-                                       jnp.float32),
-        interpret=interpret,
-    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
-    'interpret'))
-def gat_agg(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, x,
-            *, n_dst_blocks, max_groups, src_block, dst_block, user_axis,
-            interpret=False):
+def gat_agg_online(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d,
+                   x, num_in, den_in, m_in, *, n_dst_blocks, max_groups,
+                   src_block, dst_block, user_axis, interpret=False):
+    """Fused forward: (num, den, m) in one pass over the tiles, carrying
+    the previous split's accumulators in."""
     meta = _meta_specs(packed.shape[0])
     dcol = x.shape[1]
     return pl.pallas_call(
-        _make_agg_kernel(src_block, dst_block, user_axis),
+        _make_agg_online_kernel(src_block, dst_block, user_axis),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(n_dst_blocks, max_groups),
             in_specs=[meta, meta, _full(s.shape),
-                      _by_dst((dst_block, 1)), _by_dst((dst_block, 1)),
-                      _full(x.shape)],
+                      _by_dst((dst_block, 1)), _full(x.shape),
+                      _by_dst((dst_block, dcol)),
+                      _by_dst((dst_block, 1)),
+                      _by_dst((dst_block, 1))],
             out_specs=[_by_dst((dst_block, dcol)),
+                       _by_dst((dst_block, 1)),
                        _by_dst((dst_block, 1))],
         ),
         out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
                                         jnp.float32)],
         interpret=interpret,
-    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, x)
+        compiler_params=_COMPILER_PARAMS,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, x,
+      num_in, den_in, m_in)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -408,6 +427,7 @@ def gat_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
                    jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
                                         jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, gnum,
       gden, h)
 
@@ -436,6 +456,7 @@ def gat_bwd_dst(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
         out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
                                        jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, gnum,
       gden, x)
 
@@ -453,13 +474,26 @@ def _pack(a):
     return a.reshape(-1, 128)
 
 
+def _init_acc(n_pad, dcol):
+    """First-split carry for the online-softmax kernels: empty
+    accumulators and a NEG max."""
+    return (jnp.zeros((n_pad, dcol), jnp.float32),
+            jnp.zeros((n_pad, 1), jnp.float32),
+            jnp.full((n_pad, 1), NEG, jnp.float32))
+
+
 def _run_fwd_splits(tiled, fn, dst_arrays, src_arrays, salt, keep,
                     combine, interpret):
     """Run ``fn`` over a TiledSpMM's source-range splits.
 
     ``dst_arrays``: (n_dst-padded, c) inputs sliced per dst block inside
     the kernel; ``src_arrays``: (n_src, c) inputs sliced per split here.
-    ``combine``: 'add' | 'max' across splits.
+    ``combine``: 'add' (element-wise sum) | 'carry' (``fn`` takes the
+    previous split's output tuple as extra dst-shaped inputs and
+    continues the accumulation IN the kernel — the online-softmax
+    forwards use this: an XLA-side combine of full-table per-split
+    outputs holds several (n_dst_pad, d) buffers live and blew HBM at
+    S3's 31-split tables).
     """
     salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
     keep_arr = jnp.asarray(keep, jnp.float32).reshape(1)
@@ -467,15 +501,15 @@ def _run_fwd_splits(tiled, fn, dst_arrays, src_arrays, salt, keep,
     for off, length, d in tiled.splits:
         srcs = [jax.lax.dynamic_slice_in_dim(a, off, length, axis=0)
                 if len(tiled.splits) > 1 else a for a in src_arrays]
+        if combine == 'carry':
+            out = fn(d, salt_arr, keep_arr,
+                     jnp.asarray([off], jnp.uint32),
+                     dst_arrays, srcs, interpret, out)
+            continue
         part = fn(d, salt_arr, keep_arr,
                   jnp.asarray([off], jnp.uint32), dst_arrays, srcs,
                   interpret)
-        if out is None:
-            out = part
-        elif combine == 'add':
-            out = jax.tree.map(jnp.add, out, part)
-        else:
-            out = jax.tree.map(jnp.maximum, out, part)
+        out = part if out is None else jax.tree.map(jnp.add, out, part)
     return out
 
 
@@ -498,74 +532,48 @@ def _kw(direction_layout, spec, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def gat_edge_max(direction, interpret, op, s_src, d_dst, salt, keep):
-    """(n_dst, 1) max over surviving incoming-edge logits (-1e30 when a
-    node has none).  custom-VJP with zero cotangents: the softmax shift
-    carries no gradient (shift invariance), and the wrapper keeps
-    autodiff from ever linearizing the pallas_call."""
-    tiled = op.l_i2u if direction == 'to_user' else op.l_u2i
-    spec = _DirSpec(tiled)
-    d_pad = _pad_rows(d_dst, spec.n_dst_pad)
-
-    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return gat_max(layout.group_ptr, layout.chunk_sb, salt_a, keep_a,
-                       off_a, layout.packed, layout.w, _pack(srcs[0]),
-                       dsts[0], **_kw(layout, spec, interp))
-
-    m = _run_fwd_splits(tiled, fn, [d_pad], [s_src], salt, keep, 'max',
-                        interpret)
-    return m[:tiled.n_dst]
-
-
-def _gem_fwd(direction, interpret, op, s_src, d_dst, salt, keep):
-    out = gat_edge_max(direction, interpret, op, s_src, d_dst, salt, keep)
-    return out, (op, s_src, d_dst, salt, keep)
-
-
-def _gem_bwd(direction, interpret, res, g):
-    op, s_src, d_dst, salt, keep = res
-    return (_zeros_ct(op), jnp.zeros_like(s_src), jnp.zeros_like(d_dst),
-            _zeros_ct(salt), jnp.zeros_like(keep))
-
-
-gat_edge_max.defvjp(_gem_fwd, _gem_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def gat_att_spmm(direction, interpret, op, h_src, s_src, d_dst, m_dst,
-                 salt, keep):
-    """(num, den) of the masked edge softmax for one direction.
+def gat_att_fused(direction, interpret, op, h_src, s_src, d_dst, salt,
+                  keep):
+    """(num, den, m_edge) of the masked edge softmax, fused forward.
 
     ``direction``: 'to_user' | 'to_item' over a unit-weight
-    ``PallasGraphOp`` (``op``).  ``m_dst`` MUST be stop-gradded by the
-    caller (softmax shift invariance makes that exact).
+    ``PallasGraphOp`` (``op``).  One online-softmax kernel pass per
+    split; ``m_edge`` is the per-dst max over SURVIVING edge logits
+    (NEG when a dst has none) and carries no gradient (shift
+    invariance) — the caller folds the self-loop shift outside.
     """
     fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
     spec = _DirSpec(fwd)
     d_pad = _pad_rows(d_dst, spec.n_dst_pad)
-    m_pad = _pad_rows(m_dst, spec.n_dst_pad)
 
-    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return tuple(gat_agg(
+    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp, carry):
+        if carry is None:
+            carry = _init_acc(spec.n_dst_pad, h_src.shape[1])
+        return tuple(gat_agg_online(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, _pack(srcs[0]), dsts[0], dsts[1],
-            srcs[1].astype(fwd.x_dtype), **_kw(layout, spec, interp)))
+            layout.packed, layout.w, _pack(srcs[0]), dsts[0],
+            srcs[1].astype(fwd.x_dtype), *carry,
+            **_kw(layout, spec, interp)))
 
-    num, den = _run_fwd_splits(fwd, fn, [d_pad, m_pad], [s_src, h_src],
-                               salt, keep, 'add', interpret)
-    return num[:fwd.n_dst], den[:fwd.n_dst]
+    num, den, m = _run_fwd_splits(fwd, fn, [d_pad], [s_src, h_src],
+                                  salt, keep, 'carry', interpret)
+    return num[:fwd.n_dst], den[:fwd.n_dst], m[:fwd.n_dst]
 
 
-def _gas_fwd(direction, interpret, op, h_src, s_src, d_dst, m_dst, salt,
-             keep):
-    out = gat_att_spmm(direction, interpret, op, h_src, s_src, d_dst,
-                       m_dst, salt, keep)
+def _gas_fwd(direction, interpret, op, h_src, s_src, d_dst, salt, keep):
+    out = gat_att_fused(direction, interpret, op, h_src, s_src, d_dst,
+                        salt, keep)
+    m_dst = out[2]
     return out, (op, h_src, s_src, d_dst, m_dst, salt, keep)
 
 
 def _gas_bwd(direction, interpret, res, g):
+    # backward vs the EDGE shift m (residual): e recomputes per pass
+    # exactly as the forward aggregated it, so (g_num, g_den) chain
+    # through unchanged; g_m is dropped (the shift is gradient-free by
+    # softmax shift invariance).
     op, h_src, s_src, d_dst, m_dst, salt, keep = res
-    g_num, g_den = g
+    g_num, g_den, _ = g
     fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
     bwd = op.l_u2i if direction == 'to_user' else op.l_i2u
 
@@ -607,11 +615,11 @@ def _gas_bwd(direction, interpret, res, g):
                          [s_src, h_src], salt, keep, 'add', interpret)
     dd = dd[:d_dst.shape[0]]
 
-    return (_zeros_ct(op), dh, ds, dd, jnp.zeros_like(m_dst),
-            _zeros_ct(salt), jnp.zeros_like(keep))
+    return (_zeros_ct(op), dh, ds, dd, _zeros_ct(salt),
+            jnp.zeros_like(keep))
 
 
-gat_att_spmm.defvjp(_gas_fwd, _gas_bwd)
+gat_att_fused.defvjp(_gas_fwd, _gas_bwd)
 
 
 def gat_direction(op, direction, h_src, h_dst, s_src, s_dst, d_dst,
@@ -621,18 +629,22 @@ def gat_direction(op, direction, h_src, h_dst, s_src, s_dst, d_dst,
 
     Semantics match ``models/conv._attention_direction`` exactly:
     per-dst softmax over surviving incoming edges plus the self loop
-    (self logit = leaky(s_dst + d_dst), self message = h_dst).
+    (self logit = leaky(s_dst + d_dst), self message = h_dst).  The
+    kernel's (num, den) are w.r.t. the edge max; folding in the
+    self-loop shift is one row-wise rescale here — values AND gradients
+    match the two-shift formulation exactly (both shifts are
+    stop-gradded constants by shift invariance).
     """
     s_col = s_src[:, None]
     d_col = d_dst[:, None]
-    m_edge = gat_edge_max(direction, interpret, op, s_col, d_col, salt,
-                          keep)
+    num, den, m_edge = gat_att_fused(direction, interpret, op, h_src,
+                                     s_col, d_col, salt, keep)
+    m_edge = jax.lax.stop_gradient(m_edge)
     z_self = _leaky(s_dst + d_dst)[:, None]
     m = jnp.maximum(m_edge, jax.lax.stop_gradient(z_self))
-    num, den = gat_att_spmm(direction, interpret, op, h_src, s_col,
-                            d_col, m, salt, keep)
+    r = jnp.exp(m_edge - m)   # 0 when a dst has no surviving edges
     e_self = jnp.exp(z_self - m)
-    return (num + e_self * h_dst) / (den + e_self)
+    return (num * r + e_self * h_dst) / (den * r + e_self)
 
 
 # ===========================================================================
@@ -642,57 +654,31 @@ def gat_direction(op, direction, h_src, h_dst, s_src, s_dst, d_dst,
 # global (1, d) reduction accumulated in a constant-index output block)
 # and d-dim dhd.
 
-def _make_max2_kernel(src_block, dst_block, user_axis):
+def _make_agg2_online_kernel(src_block, dst_block, user_axis):
+    """Fused GATv2 forward: online-softmax aggregation (see the GAT
+    variant above).  The per-edge d-dim leaky logit and the message rows
+    share one ``oh_src`` gather, computed once per chunk."""
     def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
-                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref):
+                packed_ref, w_ref, hs_ref, hd_ref, a_ref,
+                num_in_ref, den_in_ref, m_in_ref,
+                num_ref, den_ref, m_ref):
         b = pl.program_id(0)
         t = pl.program_id(1)
 
+        # split carry copy-in (see the GAT kernel above)
         @pl.when(t == 0)
         def _():
-            m_ref[:] = jnp.full_like(m_ref, NEG)
+            num_ref[:] = num_in_ref[:]
+            den_ref[:] = den_in_ref[:]
+            m_ref[:] = m_in_ref[:]
 
         g = ptr_ref[b] + t
 
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            for j in range(GROUP):
-                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
-                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
-                    src_block, dst_block, user_axis)
-                start = pl.multiple_of(sb * src_block, src_block)
-                hsb = hs_ref[pl.ds(start, src_block), :]
-                u = (_dot(oh_src.astype(hsb.dtype), hsb)
-                     + _dot(oh_dst, hd_ref[:, :]))
-                logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
-                logit = jnp.where(wmask > 0, logit, NEG)
-                contrib = jnp.max(
-                    jnp.where(oh_dst.T > 0, logit[None, :], NEG),
-                    axis=1, keepdims=True)
-                m_ref[:] = jnp.maximum(m_ref[:], contrib)
-
-    return _kernel
-
-
-def _make_agg2_kernel(src_block, dst_block, user_axis):
-    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
-                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref,
-                num_ref, den_ref):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            num_ref[:] = jnp.zeros_like(num_ref)
-            den_ref[:] = jnp.zeros_like(den_ref)
-
-        g = ptr_ref[b] + t
-
-        @pl.when(g < ptr_ref[b + 1])
-        def _():
-            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all, e_all = [], []
+            rows_l, z_l, w_l = [], [], []
+            m_cur = m_ref[:]
             for j in range(GROUP):
                 sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
@@ -702,9 +688,26 @@ def _make_agg2_kernel(src_block, dst_block, user_axis):
                 rows_s = _dot(oh_src.astype(hsb.dtype), hsb)
                 u = rows_s + _dot(oh_dst, hd_ref[:, :])
                 logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
-                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
-                e = wmask * jnp.exp(logit - m_e)
-                rows_all.append(rows_s * e[:, None])
+                z = jnp.where(wmask > 0, logit, NEG)
+                m_cur = jnp.maximum(m_cur, jnp.max(
+                    jnp.where(oh_dst.T > 0, z[None, :], NEG),
+                    axis=1, keepdims=True))
+                rows_l.append(rows_s)
+                z_l.append(z)
+                w_l.append(wmask)
+            r = jnp.exp(m_ref[:] - m_cur)
+            num_ref[:] = num_ref[:] * r
+            den_ref[:] = den_ref[:] * r
+            m_ref[:] = m_cur
+            rows_all, e_all = [], []
+            for j in range(GROUP):
+                dst_local = packed_ref[0, j, :] >> 16
+                oh_dst = (dst_local[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, dst_block), 1)) \
+                    .astype(jnp.float32)
+                m_e = _dot(oh_dst, m_cur)[:, 0]
+                e = w_l[j] * jnp.exp(z_l[j] - m_e)
+                rows_all.append(rows_l[j] * e[:, None])
                 e_all.append(e[:, None])
 
             rows_cat = jnp.concatenate(rows_all, axis=0)
@@ -751,7 +754,9 @@ def _make_bwd2_src_kernel(src_block, dst_block, user_axis):
                 u = rows_s + _dot(oh_src.astype(hdb.dtype), hdb)
                 logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
                 m_e = _gather_src_scalar(m_ref, sb, src_local, src_block)
-                e = wmask * jnp.exp(logit - m_e)
+                # masked -> NEG before the shift (see gat bwd_src)
+                e = wmask * jnp.exp(
+                    jnp.where(wmask > 0, logit, NEG) - m_e)
                 gb = gnum_ref[pl.ds(start, src_block), :]
                 g_rows = _dot(oh_src.astype(gb.dtype), gb)
                 gden_e = _gather_src_scalar(gden_ref, sb, src_local,
@@ -808,7 +813,8 @@ def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
                 lk = _leaky(u)
                 logit = _dot(lk, a_ref[:, :])[:, 0]
                 m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
-                e = wmask * jnp.exp(logit - m_e)
+                e = wmask * jnp.exp(
+                    jnp.where(wmask > 0, logit, NEG) - m_e)
                 g_rows = _dot(oh_dst, gnum_ref[:, :])
                 gden_e = _dot(oh_dst, gden_ref[:, :])[:, 0]
                 dz = e * (jnp.sum(g_rows * rows_s, axis=1) + gden_e)
@@ -831,51 +837,38 @@ def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
 @functools.partial(jax.jit, static_argnames=(
     'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
     'interpret'))
-def gatv2_max(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a,
-              *, n_dst_blocks, max_groups, src_block, dst_block,
-              user_axis, interpret=False):
+def gatv2_agg_online(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
+                     hd, a, num_in, den_in, m_in, *, n_dst_blocks,
+                     max_groups, src_block, dst_block, user_axis,
+                     interpret=False):
+    """Fused GATv2 forward: (num, den, m) in one pass over the tiles,
+    carrying the previous split's accumulators in."""
     meta = _meta_specs(packed.shape[0])
     dcol = hs.shape[1]
     return pl.pallas_call(
-        _make_max2_kernel(src_block, dst_block, user_axis),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_dst_blocks, max_groups),
-            in_specs=[meta, meta, _full(hs.shape),
-                      _by_dst((dst_block, dcol)), _full(a.shape)],
-            out_specs=_by_dst((dst_block, 1)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
-                                       jnp.float32),
-        interpret=interpret,
-    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
-    'interpret'))
-def gatv2_agg(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a,
-              m, *, n_dst_blocks, max_groups, src_block, dst_block,
-              user_axis, interpret=False):
-    meta = _meta_specs(packed.shape[0])
-    dcol = hs.shape[1]
-    return pl.pallas_call(
-        _make_agg2_kernel(src_block, dst_block, user_axis),
+        _make_agg2_online_kernel(src_block, dst_block, user_axis),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(n_dst_blocks, max_groups),
             in_specs=[meta, meta, _full(hs.shape),
                       _by_dst((dst_block, dcol)), _full(a.shape),
+                      _by_dst((dst_block, dcol)),
+                      _by_dst((dst_block, 1)),
                       _by_dst((dst_block, 1))],
             out_specs=[_by_dst((dst_block, dcol)),
+                       _by_dst((dst_block, 1)),
                        _by_dst((dst_block, 1))],
         ),
         out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
                                         jnp.float32)],
         interpret=interpret,
-    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m)
+        compiler_params=_COMPILER_PARAMS,
+    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a,
+      num_in, den_in, m_in)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -903,6 +896,7 @@ def gatv2_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
         out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
                                        jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m,
       gnum, gden)
 
@@ -933,75 +927,45 @@ def gatv2_bwd_dst(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
                                         jnp.float32),
                    jax.ShapeDtypeStruct((1, dcol), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m,
       gnum, gden)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def gatv2_edge_max(direction, interpret, op, hs_src, hd_dst, a_col, salt,
-                   keep):
-    """(n_dst, 1) max over surviving GATv2 edge logits."""
-    tiled = op.l_i2u if direction == 'to_user' else op.l_u2i
-    spec = _DirSpec(tiled)
-    hd_pad = _pad_rows(hd_dst, spec.n_dst_pad)
-
-    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return gatv2_max(layout.group_ptr, layout.chunk_sb, salt_a,
-                         keep_a, off_a, layout.packed, layout.w,
-                         srcs[0].astype(tiled.x_dtype), dsts[0], a_col,
-                         **_kw(layout, spec, interp))
-
-    m = _run_fwd_splits(tiled, fn, [hd_pad], [hs_src], salt, keep, 'max',
-                        interpret)
-    return m[:tiled.n_dst]
-
-
-def _g2m_fwd(direction, interpret, op, hs_src, hd_dst, a_col, salt, keep):
-    out = gatv2_edge_max(direction, interpret, op, hs_src, hd_dst, a_col,
-                         salt, keep)
-    return out, (op, hs_src, hd_dst, a_col, salt, keep)
-
-
-def _g2m_bwd(direction, interpret, res, g):
-    op, hs_src, hd_dst, a_col, salt, keep = res
-    return (_zeros_ct(op), jnp.zeros_like(hs_src), jnp.zeros_like(hd_dst),
-            jnp.zeros_like(a_col), _zeros_ct(salt), jnp.zeros_like(keep))
-
-
-gatv2_edge_max.defvjp(_g2m_fwd, _g2m_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst, a_col,
-                   m_dst, salt, keep):
-    """(num, den) of the GATv2 masked edge softmax for one direction.
-    ``m_dst`` MUST be stop-gradded by the caller."""
+def gatv2_att_fused(direction, interpret, op, hs_src, hd_dst, a_col,
+                    salt, keep):
+    """(num, den, m_edge) of the GATv2 masked edge softmax, fused
+    forward (see ``gat_att_fused``)."""
     fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
     spec = _DirSpec(fwd)
     hd_pad = _pad_rows(hd_dst, spec.n_dst_pad)
-    m_pad = _pad_rows(m_dst, spec.n_dst_pad)
 
-    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return tuple(gatv2_agg(
+    def fn(layout, salt_a, keep_a, off_a, dsts, srcs, interp, carry):
+        if carry is None:
+            carry = _init_acc(spec.n_dst_pad, hs_src.shape[1])
+        return tuple(gatv2_agg_online(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
             layout.packed, layout.w, srcs[0].astype(fwd.x_dtype),
-            dsts[0], a_col, dsts[1], **_kw(layout, spec, interp)))
+            dsts[0], a_col, *carry, **_kw(layout, spec, interp)))
 
-    num, den = _run_fwd_splits(fwd, fn, [hd_pad, m_pad], [hs_src],
-                               salt, keep, 'add', interpret)
-    return num[:fwd.n_dst], den[:fwd.n_dst]
+    num, den, m = _run_fwd_splits(fwd, fn, [hd_pad], [hs_src],
+                                  salt, keep, 'carry', interpret)
+    return num[:fwd.n_dst], den[:fwd.n_dst], m[:fwd.n_dst]
 
 
-def _g2s_fwd(direction, interpret, op, hs_src, hd_dst, a_col, m_dst,
-             salt, keep):
-    out = gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst, a_col,
-                         m_dst, salt, keep)
+def _g2s_fwd(direction, interpret, op, hs_src, hd_dst, a_col, salt,
+             keep):
+    out = gatv2_att_fused(direction, interpret, op, hs_src, hd_dst,
+                          a_col, salt, keep)
+    m_dst = out[2]
     return out, (op, hs_src, hd_dst, a_col, m_dst, salt, keep)
 
 
 def _g2s_bwd(direction, interpret, res, g):
+    # backward vs the EDGE shift (see _gas_bwd)
     op, hs_src, hd_dst, a_col, m_dst, salt, keep = res
-    g_num, g_den = g
+    g_num, g_den, _ = g
     fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
     bwd = op.l_u2i if direction == 'to_user' else op.l_i2u
 
@@ -1041,11 +1005,11 @@ def _g2s_bwd(direction, interpret, res, g):
                               [hs_src], salt, keep, 'add', interpret)
     dhd = dhd[:hd_dst.shape[0]]
 
-    return (_zeros_ct(op), dhs, dhd, da.T, jnp.zeros_like(m_dst),
-            _zeros_ct(salt), jnp.zeros_like(keep))
+    return (_zeros_ct(op), dhs, dhd, da.T, _zeros_ct(salt),
+            jnp.zeros_like(keep))
 
 
-gatv2_att_spmm.defvjp(_g2s_fwd, _g2s_bwd)
+gatv2_att_fused.defvjp(_g2s_fwd, _g2s_bwd)
 
 
 def gatv2_direction(op, direction, hs_src, hs_dst, hd_dst, a, salt, keep,
@@ -1054,11 +1018,11 @@ def gatv2_direction(op, direction, hs_src, hs_dst, hd_dst, a, salt, keep,
     logit = a·leaky(hs_dst + hd_dst), self message = hs_dst) — matches
     ``models/conv.conv_layer``'s 'gatv2' branch exactly."""
     a_col = a[:, None]
-    m_edge = gatv2_edge_max(direction, interpret, op, hs_src, hd_dst,
-                            a_col, salt, keep)
+    num, den, m_edge = gatv2_att_fused(direction, interpret, op, hs_src,
+                                       hd_dst, a_col, salt, keep)
+    m_edge = jax.lax.stop_gradient(m_edge)
     z_self = (_leaky(hs_dst + hd_dst) @ a)[:, None]
     m = jnp.maximum(m_edge, jax.lax.stop_gradient(z_self))
-    num, den = gatv2_att_spmm(direction, interpret, op, hs_src, hd_dst,
-                              a_col, m, salt, keep)
+    r = jnp.exp(m_edge - m)   # fold the self-loop shift (see GAT)
     e_self = jnp.exp(z_self - m)
-    return (num + e_self * hs_dst) / (den + e_self)
+    return (num * r + e_self * hs_dst) / (den * r + e_self)
