@@ -93,12 +93,12 @@ def test_gatv2_direction_multisplit_matches_segment(rng):
     salts, keep, m_u = _masks(eu, ei, key, 0.3)
     a = jnp.asarray(rng.randn(h_u.shape[1]).astype(np.float32))
 
-    def kernel_out(hs_u, hs_i, hd_u):
+    def kernel_out(hs_u, hs_i, hd_u, a):
         from textgcn_tpu.ops.pallas_gat import gatv2_direction
         return gatv2_direction(op, 'to_user', hs_i, hs_u, hd_u, a,
                                salts[0], keep, interpret=True)
 
-    def segment_out(hs_u, hs_i, hd_u):
+    def segment_out(hs_u, hs_i, hd_u, a):
         return _attention_direction(
             hs_i, _leaky(hs_i[ei] + hd_u[eu]) @ a,
             _leaky(hs_u + hd_u) @ a, hs_u, ei, eu, m_u, nu)
@@ -106,12 +106,13 @@ def test_gatv2_direction_multisplit_matches_segment(rng):
     hd_u = jnp.asarray(rng.randn(*h_u.shape).astype(np.float32))
 
     def loss(f):
-        return lambda a1, a2, a3: (f(a1, a2, a3) ** 2).sum()
+        return lambda a1, a2, a3, a4: (f(a1, a2, a3, a4) ** 2).sum()
 
+    # a is differentiated too: covers the fused in-kernel da reduction
     got, gk = jax.value_and_grad(loss(kernel_out),
-                                 argnums=(0, 1, 2))(h_u, h_i, hd_u)
+                                 argnums=(0, 1, 2, 3))(h_u, h_i, hd_u, a)
     want, gs = jax.value_and_grad(loss(segment_out),
-                                  argnums=(0, 1, 2))(h_u, h_i, hd_u)
+                                  argnums=(0, 1, 2, 3))(h_u, h_i, hd_u, a)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
     for a_, b_ in zip(gk, gs):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),

@@ -28,14 +28,17 @@ scalar-prefetched group pointers):
   exceeded HBM).  A third output returns the edge max for the
   self-loop fold and the backward recompute.
 * **backward** is hand-derived (softmax VJP with the shift m
-  stop-gradded — exact, by shift invariance) and runs as two more
-  passes: `_bwd_src_kernel` over the TRANSPOSE tiles computes
+  stop-gradded — exact, by shift invariance) and runs as ONE more pass:
+  `_bwd_src_kernel` over the TRANSPOSE tiles computes
   ``dh_i = Σ_j e_ij g_j`` and ``ds_i = Σ_j dz_ij`` (dz = e·(g·h + g_den)·
   leaky'(z)), recomputing e in the transpose order — the hash mask is
   order-independent, so zero permutation traffic, exactly like the SpMM
-  custom VJP; `_bwd_dst_kernel` over the forward tiles reduces
-  ``dd_j = Σ_i dz_ij``.  The per-edge SDDMM dot ``g_j·h_i`` is two
-  one-hot MXU gathers + a VPU row dot.
+  custom VJP — AND scatters ``dd_j = Σ_i dz_ij`` onto this layout's
+  SOURCE axis (forward dst j) into a lane-packed constant-index output
+  block, eliminating the old third full decode pass over the forward
+  tiles (dz was already materialized here; the scatter is one extra
+  (rows, CHUNK)x(CHUNK, 128) one-hot matmul per chunk).  The per-edge
+  SDDMM dot ``g_j·h_i`` is two one-hot MXU gathers + a VPU row dot.
 
 Self-loop terms, the combination, and all parameter matmuls stay in
 plain JAX outside the custom-VJP boundary (autodiff handles them).
@@ -67,6 +70,11 @@ SLOPE = 0.2   # torch_geometric LeakyReLU default
 # raise the cap to 32 MB, comfortably under the 128 MB physical VMEM
 # shared with the pipeline's double-buffered windows
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+# the fused GATv2 backward additionally holds a per-split packed dhd
+# block resident (split_rows * d * 4 bytes, ~6 MB at d=64) — give it
+# extra scoped-VMEM headroom; still well under the 128 MB physical VMEM
+_COMPILER_PARAMS_BWD2 = pltpu.CompilerParams(
+    vmem_limit_bytes=48 * 1024 * 1024)
 
 
 def _hash_keep(uid, iid, salt, keep):
@@ -141,6 +149,41 @@ def _gather_src_scalar(ref, sb, src_local, src_block):
     lanesel = (src_local % 128)[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK, 128), 1)
     return jnp.sum(jnp.where(lanesel, rows, 0.0), axis=1)
+
+
+def _packed_sel(src_local, src_block):
+    """Row/lane selectors into the lane-packed (rows, 128) scalar layout,
+    built ONCE per chunk and shared by every packed gather and the
+    source-axis scatter (``_gather_src_scalar`` rebuilds them per call —
+    fine for the forward's single gather, wasteful for the backward's
+    three)."""
+    rows_per = src_block // 128
+    rowsel = ((src_local // 128)[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, rows_per), 1)).astype(jnp.float32)
+    lanesel = (src_local % 128)[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, 128), 1)
+    return rowsel, lanesel
+
+
+def _gather_with(ref, sb, rowsel, lanesel, src_block):
+    """Packed-scalar gather using prebuilt selectors (see
+    ``_gather_src_scalar`` for the layout)."""
+    rows_per = src_block // 128
+    start = pl.multiple_of(sb * rows_per, rows_per)
+    rows = _dot(rowsel, ref[pl.ds(start, rows_per), :])
+    return jnp.sum(jnp.where(lanesel, rows, 0.0), axis=1)
+
+
+def _scatter_packed(ref, base_row, sb, rowsel, lanesel, vals, src_block):
+    """Accumulate per-edge scalars onto the lane-packed SOURCE axis:
+    ``ref[row(i), lane(i)] += vals_e`` for every edge e with source local
+    i — one (rows, CHUNK)x(CHUNK, 128) one-hot matmul.  ``base_row`` is
+    the split's global packed-row offset (the output is global-size, so
+    the XLA-side 'add' split combine stays exact)."""
+    rows_per = src_block // 128
+    start = pl.multiple_of(base_row + sb * rows_per, rows_per)
+    contrib = _dot(rowsel.T, jnp.where(lanesel, vals[:, None], 0.0))
+    ref[pl.ds(start, rows_per), :] += contrib
 
 
 def _make_agg_online_kernel(src_block, dst_block, user_axis):
@@ -238,12 +281,15 @@ def _make_agg_online_kernel(src_block, dst_block, user_axis):
 def _make_bwd_src_kernel(src_block, dst_block, user_axis):
     """Over the TRANSPOSE tiles: this layout's src = forward dst (j),
     dst = forward src (i).  Computes dh_i = Σ_j e_ij g_j and
-    ds_i = Σ_j dz_ij.  s lives on this layout's DST side; d/m/g_num/
-    g_den on its SRC side."""
+    ds_i = Σ_j dz_ij — AND, fused, dd_j = Σ_i dz_ij scattered onto this
+    layout's SOURCE axis into a lane-packed global-size constant-index
+    output (dz is already materialized here; the old ``_bwd_dst`` pass
+    re-decoded every forward tile just to rebuild it).  s lives on this
+    layout's DST side; d/m/g_num/g_den on its SRC side."""
 
     def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
                 packed_ref, w_ref, s_ref, d_ref, m_ref, gnum_ref,
-                gden_ref, h_ref, dh_ref, ds_ref):
+                gden_ref, h_ref, dh_ref, ds_ref, dd_ref):
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -252,11 +298,21 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
             dh_ref[:] = jnp.zeros_like(dh_ref)
             ds_ref[:] = jnp.zeros_like(ds_ref)
 
+        # dd is ONE global block (constant index map): zero once, then
+        # accumulate across the whole sequential grid; written back to
+        # HBM at kernel end (same pattern as the GATv2 da reduction)
+        @pl.when((b == 0) & (t == 0))
+        def _():
+            dd_ref[:] = jnp.zeros_like(dd_ref)
+
         g = ptr_ref[b] + t
 
         @pl.when(g < ptr_ref[b + 1])
         def _():
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
+            # split's global packed-row base (off is a multiple of
+            # src_block, so base is a multiple of rows_per)
+            base = (off // 128).astype(jnp.int32)
             grows_all, dz_all = [], []
             for j in range(GROUP):
                 sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
@@ -265,10 +321,11 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
                 start = pl.multiple_of(sb * src_block, src_block)
                 gb = gnum_ref[pl.ds(start, src_block), :]
                 g_rows = _dot(oh_src.astype(gb.dtype), gb)
-                gden_e = _gather_src_scalar(gden_ref, sb, src_local,
-                                            src_block)
-                d_e = _gather_src_scalar(d_ref, sb, src_local, src_block)
-                m_e = _gather_src_scalar(m_ref, sb, src_local, src_block)
+                rowsel, lanesel = _packed_sel(src_local, src_block)
+                gden_e = _gather_with(gden_ref, sb, rowsel, lanesel,
+                                      src_block)
+                d_e = _gather_with(d_ref, sb, rowsel, lanesel, src_block)
+                m_e = _gather_with(m_ref, sb, rowsel, lanesel, src_block)
                 s_e = _dot(oh_dst, s_ref[:, :])[:, 0]
                 h_rows = _dot(oh_dst, h_ref[:, :])
                 z = s_e + d_e
@@ -280,6 +337,10 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
                 e = wmask * jnp.exp(zm - m_e)
                 de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
                 dz = e * de * _dleaky(z)
+                # fused dd: padding/overlap slots carry wmask=0 -> dz=0,
+                # so they scatter exact zeros
+                _scatter_packed(dd_ref, base, sb, rowsel, lanesel, dz,
+                                src_block)
                 grows_all.append(g_rows * e[:, None])
                 dz_all.append(dz[:, None])
 
@@ -291,54 +352,6 @@ def _make_bwd_src_kernel(src_block, dst_block, user_axis):
                 == dst_cat[None, :]).astype(jnp.float32)
             dh_ref[:] += _dot(s_scatter, grows_cat)
             ds_ref[:] += _dot(s_scatter, dz_cat)
-
-    return _kernel
-
-
-def _make_bwd_dst_kernel(src_block, dst_block, user_axis):
-    """Over the FORWARD tiles: dd_j = Σ_i dz_ij."""
-
-    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
-                packed_ref, w_ref, s_ref, d_ref, m_ref, gnum_ref,
-                gden_ref, x_ref, dd_ref):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            dd_ref[:] = jnp.zeros_like(dd_ref)
-
-        g = ptr_ref[b] + t
-
-        @pl.when(g < ptr_ref[b + 1])
-        def _():
-            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            dz_all = []
-            for j in range(GROUP):
-                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
-                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
-                    src_block, dst_block, user_axis)
-                start = pl.multiple_of(sb * src_block, src_block)
-                xb = x_ref[pl.ds(start, src_block), :]
-                h_rows = _dot(oh_src.astype(xb.dtype), xb)
-                s_e = _gather_src_scalar(s_ref, sb, src_local,
-                                         src_block)
-                g_rows = _dot(oh_dst, gnum_ref[:, :])
-                gden_e = _dot(oh_dst, gden_ref[:, :])[:, 0]
-                d_e = _dot(oh_dst, d_ref[:, :])[:, 0]
-                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
-                z = s_e + d_e
-                zm = jnp.where(wmask > 0, _leaky(z), NEG)  # see bwd_src
-                e = wmask * jnp.exp(zm - m_e)
-                de = jnp.sum(g_rows * h_rows, axis=1) + gden_e
-                dz_all.append((e * de * _dleaky(z))[:, None])
-
-            dz_cat = jnp.concatenate(dz_all, axis=0)
-            dst_cat = packed_ref[0].reshape(-1) >> 16
-            s_scatter = (jax.lax.broadcasted_iota(
-                jnp.int32, (dst_block, GROUP * CHUNK), 0)
-                == dst_cat[None, :]).astype(jnp.float32)
-            dd_ref[:] += _dot(s_scatter, dz_cat)
 
     return _kernel
 
@@ -401,10 +414,15 @@ def gat_agg_online(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d,
 
 @functools.partial(jax.jit, static_argnames=(
     'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
-    'interpret'))
+    'n_src_rows', 'interpret'))
 def gat_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
                 gnum, gden, h, *, n_dst_blocks, max_groups, src_block,
-                dst_block, user_axis, interpret=False):
+                dst_block, user_axis, n_src_rows, interpret=False):
+    """Fused backward pass: (dh, ds) by dst block + the lane-packed
+    GLOBAL dd over this layout's source axis (``n_src_rows`` = total
+    source rows across ALL splits; each split scatters only its own rows,
+    so the XLA-side 'add' combine is exact)."""
+    assert n_src_rows % 128 == 0, n_src_rows
     meta = _meta_specs(packed.shape[0])
     dcol = gnum.shape[1]
     return pl.pallas_call(
@@ -420,45 +438,19 @@ def gat_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
                       _full(gden.shape),
                       _by_dst((dst_block, dcol))],  # h  (this dst side)
             out_specs=[_by_dst((dst_block, dcol)),
-                       _by_dst((dst_block, 1))],
+                       _by_dst((dst_block, 1)),
+                       _full((n_src_rows // 128, 128))],
         ),
         out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_src_rows // 128, 128),
                                         jnp.float32)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, gnum,
       gden, h)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
-    'interpret'))
-def gat_bwd_dst(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m,
-                gnum, gden, x, *, n_dst_blocks, max_groups, src_block,
-                dst_block, user_axis, interpret=False):
-    meta = _meta_specs(packed.shape[0])
-    return pl.pallas_call(
-        _make_bwd_dst_kernel(src_block, dst_block, user_axis),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_dst_blocks, max_groups),
-            in_specs=[meta, meta,
-                      _full(s.shape),              # s   (src side)
-                      _by_dst((dst_block, 1)),     # d   (dst side)
-                      _by_dst((dst_block, 1)),     # m
-                      _by_dst((dst_block, x.shape[1])),   # g_num
-                      _by_dst((dst_block, 1)),     # g_den
-                      _full(x.shape)],
-            out_specs=_by_dst((dst_block, 1)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, 1),
-                                       jnp.float32),
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
-    )(group_ptr, chunk_sb, salt, keep, off, packed, w, s, d, m, gnum,
-      gden, x)
 
 
 # --- split orchestration ------------------------------------------------------
@@ -574,46 +566,32 @@ def _gas_bwd(direction, interpret, res, g):
     # softmax shift invariance).
     op, h_src, s_src, d_dst, m_dst, salt, keep = res
     g_num, g_den, _ = g
-    fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
     bwd = op.l_u2i if direction == 'to_user' else op.l_i2u
 
-    # --- transpose tiles: dh_i, ds_i ------------------------------------
-    # bwd layout: src = forward dst (j), dst = forward src (i)
+    # --- ONE pass over the transpose tiles: dh_i, ds_i AND dd_j ---------
+    # bwd layout: src = forward dst (j), dst = forward src (i); dd_j
+    # rides a lane-packed global output scattered onto the source axis
+    # (the old second pass re-decoded every forward tile to rebuild dz)
     spec_b = _DirSpec(bwd)
     s_pad = _pad_rows(s_src, spec_b.n_dst_pad)
     h_pad = _pad_rows(h_src, spec_b.n_dst_pad)
+    n_src_rows = bwd.splits[-1][0] + bwd.splits[-1][1]
 
     def fn_src(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
         return tuple(gat_bwd_src(
             layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
             layout.packed, layout.w, dsts[0], _pack(srcs[0]),
             _pack(srcs[1]), srcs[2].astype(bwd.x_dtype), _pack(srcs[3]),
-            dsts[1], **_kw(layout, spec_b, interp)))
+            dsts[1], n_src_rows=n_src_rows,
+            **_kw(layout, spec_b, interp)))
 
-    dh, ds = _run_fwd_splits(
+    dh, ds, dd = _run_fwd_splits(
         bwd, fn_src, [s_pad, h_pad],
         [d_dst, m_dst, g_num, g_den], salt, keep, 'add',
         interpret)
     dh = dh[:h_src.shape[0]]
     ds = ds[:s_src.shape[0]]
-
-    # --- forward tiles: dd_j --------------------------------------------
-    spec_f = _DirSpec(fwd)
-    d_pad = _pad_rows(d_dst, spec_f.n_dst_pad)
-    m_pad = _pad_rows(m_dst, spec_f.n_dst_pad)
-    gnum_pad = _pad_rows(g_num, spec_f.n_dst_pad)
-    gden_pad = _pad_rows(g_den, spec_f.n_dst_pad)
-
-    def fn_dst(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return gat_bwd_dst(
-            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, _pack(srcs[0]), dsts[0], dsts[1],
-            dsts[2], dsts[3], srcs[1].astype(fwd.x_dtype),
-            **_kw(layout, spec_f, interp))
-
-    dd = _run_fwd_splits(fwd, fn_dst, [d_pad, m_pad, gnum_pad, gden_pad],
-                         [s_src, h_src], salt, keep, 'add', interpret)
-    dd = dd[:d_dst.shape[0]]
+    dd = dd.reshape(-1, 1)[:d_dst.shape[0]]
 
     return (_zeros_ct(op), dh, ds, dd, _zeros_ct(salt),
             jnp.zeros_like(keep))
@@ -722,14 +700,24 @@ def _make_agg2_online_kernel(src_block, dst_block, user_axis):
     return _kernel
 
 
-def _make_bwd2_src_kernel(src_block, dst_block, user_axis):
+def _make_bwd2_src_kernel(src_block, dst_block, user_axis, pack):
     """Transpose tiles (src = fwd dst j, dst = fwd src i):
     dhs_i = Σ_j [ e_ij g_j + dz_ij (a ⊙ λvec_ij) ],  dz = e·(g_j·hs_i
-    + g_den_j)."""
+    + g_den_j) — FUSED with the source-axis outputs the old
+    ``_bwd2_dst`` pass re-decoded every forward tile for:
+    dhd_j = Σ_i dz_ij (a ⊙ λvec_ij) (same per-edge ``lam·dz`` vector as
+    the dhs term, since u is symmetric in hs_i and hd_j) scattered onto
+    this layout's SOURCE axis, and the global da = Σ_ij dz_ij leaky(u).
+
+    ``pack`` packs ``pack`` d-wide table rows per 128-lane VMEM row of
+    the dhd output (pack = 128//d when d divides 128) so the
+    constant-index resident block wastes no lanes; the scatter builds
+    one (CHUNK, src_block/pack) one-hot per parity class — same total
+    MXU flops as one unpacked scatter."""
 
     def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
                 packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref,
-                gnum_ref, gden_ref, dhs_ref):
+                gnum_ref, gden_ref, dhs_ref, dhd_ref, da_ref):
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -737,62 +725,13 @@ def _make_bwd2_src_kernel(src_block, dst_block, user_axis):
         def _():
             dhs_ref[:] = jnp.zeros_like(dhs_ref)
 
-        g = ptr_ref[b] + t
-
-        @pl.when(g < ptr_ref[b + 1])
-        def _():
-            salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
-            rows_all = []
-            for j in range(GROUP):
-                sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
-                    b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
-                    src_block, dst_block, user_axis)
-                start = pl.multiple_of(sb * src_block, src_block)
-                # this layout: hs on DST side (by b), hd/m/g on SRC side
-                rows_s = _dot(oh_dst, hs_ref[:, :])
-                hdb = hd_ref[pl.ds(start, src_block), :]
-                u = rows_s + _dot(oh_src.astype(hdb.dtype), hdb)
-                logit = _dot(_leaky(u), a_ref[:, :])[:, 0]
-                m_e = _gather_src_scalar(m_ref, sb, src_local, src_block)
-                # masked -> NEG before the shift (see gat bwd_src)
-                e = wmask * jnp.exp(
-                    jnp.where(wmask > 0, logit, NEG) - m_e)
-                gb = gnum_ref[pl.ds(start, src_block), :]
-                g_rows = _dot(oh_src.astype(gb.dtype), gb)
-                gden_e = _gather_src_scalar(gden_ref, sb, src_local,
-                                            src_block)
-                de = jnp.sum(g_rows * rows_s, axis=1) + gden_e
-                dz = e * de
-                lam = _dleaky(u) * a_ref[:, :].T          # (CHUNK, d)
-                rows_all.append(g_rows * e[:, None]
-                                + lam * dz[:, None])
-
-            rows_cat = jnp.concatenate(rows_all, axis=0)
-            dst_cat = packed_ref[0].reshape(-1) >> 16
-            s_scatter = (jax.lax.broadcasted_iota(
-                jnp.int32, (dst_block, GROUP * CHUNK), 0)
-                == dst_cat[None, :]).astype(jnp.float32)
-            dhs_ref[:] += _dot(s_scatter, rows_cat)
-
-    return _kernel
-
-
-def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
-    """Forward tiles: dhd_j = Σ_i dz_ij (a ⊙ λvec_ij) and the global
-    da = Σ_ij dz_ij leaky(u_ij) accumulated in a constant-index block."""
-
-    def _kernel(ptr_ref, sb_ref, salt_ref, keep_ref, off_ref,
-                packed_ref, w_ref, hs_ref, hd_ref, a_ref, m_ref,
-                gnum_ref, gden_ref, dhd_ref, da_ref):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            dhd_ref[:] = jnp.zeros_like(dhd_ref)
-
+        # dhd/da are constant-index blocks: zero once, accumulate across
+        # the sequential grid (dhd is PER-SPLIT sized — d-dim rows are
+        # too big for a global block — so the Python side combines split
+        # parts at their row offsets)
         @pl.when((b == 0) & (t == 0))
         def _():
+            dhd_ref[:] = jnp.zeros_like(dhd_ref)
             da_ref[:] = jnp.zeros_like(da_ref)
 
         g = ptr_ref[b] + t
@@ -802,24 +741,47 @@ def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
             salt, keep, off = salt_ref[0], keep_ref[0], off_ref[0]
             rows_all = []
             da_acc = jnp.zeros_like(da_ref)
+            sub = src_block // pack
             for j in range(GROUP):
                 sb, src_local, oh_src, oh_dst, wmask = _chunk_scalars(
                     b, j, g, sb_ref, packed_ref, w_ref, salt, keep, off,
                     src_block, dst_block, user_axis)
                 start = pl.multiple_of(sb * src_block, src_block)
-                hsb = hs_ref[pl.ds(start, src_block), :]
-                rows_s = _dot(oh_src.astype(hsb.dtype), hsb)
-                u = rows_s + _dot(oh_dst, hd_ref[:, :])
+                # this layout: hs on DST side (by b), hd/m/g on SRC side
+                rows_s = _dot(oh_dst, hs_ref[:, :])
+                hdb = hd_ref[pl.ds(start, src_block), :]
+                u = rows_s + _dot(oh_src.astype(hdb.dtype), hdb)
                 lk = _leaky(u)
                 logit = _dot(lk, a_ref[:, :])[:, 0]
-                m_e = _dot(oh_dst, m_ref[:, :])[:, 0]
+                rowsel, lanesel = _packed_sel(src_local, src_block)
+                m_e = _gather_with(m_ref, sb, rowsel, lanesel, src_block)
+                # masked -> NEG before the shift (see gat bwd_src)
                 e = wmask * jnp.exp(
                     jnp.where(wmask > 0, logit, NEG) - m_e)
-                g_rows = _dot(oh_dst, gnum_ref[:, :])
-                gden_e = _dot(oh_dst, gden_ref[:, :])[:, 0]
-                dz = e * (jnp.sum(g_rows * rows_s, axis=1) + gden_e)
-                lam = _dleaky(u) * a_ref[:, :].T
-                rows_all.append(lam * dz[:, None])
+                gb = gnum_ref[pl.ds(start, src_block), :]
+                g_rows = _dot(oh_src.astype(gb.dtype), gb)
+                gden_e = _gather_with(gden_ref, sb, rowsel, lanesel,
+                                      src_block)
+                de = jnp.sum(g_rows * rows_s, axis=1) + gden_e
+                dz = e * de
+                lam = _dleaky(u) * a_ref[:, :].T          # (CHUNK, d)
+                lamdz = lam * dz[:, None]
+                rows_all.append(g_rows * e[:, None] + lamdz)
+                # fused dhd: scatter the SAME lam·dz rows onto the
+                # source axis, pack rows per 128-lane output row;
+                # padding/overlap slots have dz=0 and scatter zeros
+                parts = []
+                for par in range(pack):
+                    ohp = (((src_local // pack)[:, None]
+                            == jax.lax.broadcasted_iota(
+                                jnp.int32, (CHUNK, sub), 1))
+                           & ((src_local % pack) == par)[:, None]) \
+                        .astype(jnp.float32)
+                    parts.append(_dot(ohp.T, lamdz))
+                contrib = (parts[0] if pack == 1
+                           else jnp.concatenate(parts, axis=1))
+                pstart = pl.multiple_of(sb * sub, sub)
+                dhd_ref[pl.ds(pstart, sub), :] += contrib
                 da_acc += jnp.sum(lk * dz[:, None], axis=0,
                                   keepdims=True)
 
@@ -828,7 +790,7 @@ def _make_bwd2_dst_kernel(src_block, dst_block, user_axis):
             s_scatter = (jax.lax.broadcasted_iota(
                 jnp.int32, (dst_block, GROUP * CHUNK), 0)
                 == dst_cat[None, :]).astype(jnp.float32)
-            dhd_ref[:] += _dot(s_scatter, rows_cat)
+            dhs_ref[:] += _dot(s_scatter, rows_cat)
             da_ref[:] += da_acc
 
     return _kernel
@@ -871,16 +833,27 @@ def gatv2_agg_online(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
       num_in, den_in, m_in)
 
 
+def _dhd_pack(dcol):
+    """Table rows per 128-lane row of the packed dhd output."""
+    return 128 // dcol if (dcol <= 128 and 128 % dcol == 0) else 1
+
+
 @functools.partial(jax.jit, static_argnames=(
     'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
     'interpret'))
 def gatv2_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
                   hd, a, m, gnum, gden, *, n_dst_blocks, max_groups,
                   src_block, dst_block, user_axis, interpret=False):
+    """Fused backward pass: dhs by dst block + this split's packed dhd
+    over the source axis + the global (1, d) da reduction."""
     meta = _meta_specs(packed.shape[0])
     dcol = hd.shape[1]
+    pack = _dhd_pack(dcol)
+    n_rows = hd.shape[0]
+    da_spec = pl.BlockSpec((1, dcol), lambda b, t, *_: (0, 0),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_bwd2_src_kernel(src_block, dst_block, user_axis),
+        _make_bwd2_src_kernel(src_block, dst_block, user_axis, pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(n_dst_blocks, max_groups),
@@ -891,43 +864,17 @@ def gatv2_bwd_src(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
                       _full(m.shape),
                       _full(gnum.shape),
                       _full(gden.shape)],
-            out_specs=_by_dst((dst_block, dcol)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
-                                       jnp.float32),
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
-    )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m,
-      gnum, gden)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    'n_dst_blocks', 'max_groups', 'src_block', 'dst_block', 'user_axis',
-    'interpret'))
-def gatv2_bwd_dst(group_ptr, chunk_sb, salt, keep, off, packed, w, hs,
-                  hd, a, m, gnum, gden, *, n_dst_blocks, max_groups,
-                  src_block, dst_block, user_axis, interpret=False):
-    meta = _meta_specs(packed.shape[0])
-    dcol = hs.shape[1]
-    da_spec = pl.BlockSpec((1, dcol), lambda b, t, *_: (0, 0),
-                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _make_bwd2_dst_kernel(src_block, dst_block, user_axis),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_dst_blocks, max_groups),
-            in_specs=[meta, meta, _full(hs.shape),
-                      _by_dst((dst_block, dcol)), _full(a.shape),
-                      _by_dst((dst_block, 1)),
-                      _by_dst((dst_block, dcol)),
-                      _by_dst((dst_block, 1))],
-            out_specs=[_by_dst((dst_block, dcol)), da_spec],
+            out_specs=[_by_dst((dst_block, dcol)),
+                       _full((n_rows // pack, pack * dcol)),
+                       da_spec],
         ),
         out_shape=[jax.ShapeDtypeStruct((n_dst_blocks * dst_block, dcol),
                                         jnp.float32),
+                   jax.ShapeDtypeStruct((n_rows // pack, pack * dcol),
+                                        jnp.float32),
                    jax.ShapeDtypeStruct((1, dcol), jnp.float32)],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_BWD2,
     )(group_ptr, chunk_sb, salt, keep, off, packed, w, hs, hd, a, m,
       gnum, gden)
 
@@ -966,44 +913,43 @@ def _g2s_bwd(direction, interpret, res, g):
     # backward vs the EDGE shift (see _gas_bwd)
     op, hs_src, hd_dst, a_col, m_dst, salt, keep = res
     g_num, g_den, _ = g
-    fwd = op.l_i2u if direction == 'to_user' else op.l_u2i
     bwd = op.l_u2i if direction == 'to_user' else op.l_i2u
 
-    # transpose tiles: dhs
+    # ONE pass over the transpose tiles: dhs (by dst block), this
+    # split's packed dhd slab (source axis), and the global da — the
+    # old second pass re-decoded every forward tile for dhd/da.  dhd
+    # parts are per-split sized (a global d-dim block would not fit
+    # VMEM), so they combine HERE at their split row offsets; the
+    # rebased final split's overlap rows carry no edges -> zero parts,
+    # so offset-ADD (not overwrite) is exact.
     spec_b = _DirSpec(bwd)
     hs_pad = _pad_rows(hs_src, spec_b.n_dst_pad)
-
-    def fn_src(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return gatv2_bwd_src(
-            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, dsts[0],
-            srcs[0].astype(bwd.x_dtype), a_col, _pack(srcs[1]),
+    dcol = hs_src.shape[1]
+    salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
+    keep_arr = jnp.asarray(keep, jnp.float32).reshape(1)
+    multi = len(bwd.splits) > 1
+    dhs = da = None
+    dhd = jnp.zeros((hd_dst.shape[0], dcol), jnp.float32)
+    for off, length, layout in bwd.splits:
+        srcs = [jax.lax.dynamic_slice_in_dim(arr, off, length, axis=0)
+                if multi else arr
+                for arr in (hd_dst, m_dst, g_num, g_den)]
+        p_dhs, p_dhd, p_da = gatv2_bwd_src(
+            layout.group_ptr, layout.chunk_sb, salt_arr, keep_arr,
+            jnp.asarray([off], jnp.uint32), layout.packed, layout.w,
+            hs_pad, srcs[0].astype(bwd.x_dtype), a_col, _pack(srcs[1]),
             srcs[2].astype(bwd.x_dtype), _pack(srcs[3]),
-            **_kw(layout, spec_b, interp))
-
-    dhs = _run_fwd_splits(bwd, fn_src, [hs_pad],
-                          [hd_dst, m_dst, g_num, g_den], salt, keep,
-                          'add', interpret)
+            **_kw(layout, spec_b, interpret))
+        dhs = p_dhs if dhs is None else dhs + p_dhs
+        da = p_da if da is None else da + p_da
+        part = p_dhd.reshape(-1, dcol)[:length]
+        if multi:
+            cur = jax.lax.dynamic_slice_in_dim(dhd, off, length, axis=0)
+            dhd = jax.lax.dynamic_update_slice_in_dim(
+                dhd, cur + part, off, axis=0)
+        else:
+            dhd = part[:hd_dst.shape[0]]
     dhs = dhs[:hs_src.shape[0]]
-
-    # forward tiles: dhd + da
-    spec_f = _DirSpec(fwd)
-    hd_pad = _pad_rows(hd_dst, spec_f.n_dst_pad)
-    m_pad = _pad_rows(m_dst, spec_f.n_dst_pad)
-    gnum_pad = _pad_rows(g_num, spec_f.n_dst_pad)
-    gden_pad = _pad_rows(g_den, spec_f.n_dst_pad)
-
-    def fn_dst(layout, salt_a, keep_a, off_a, dsts, srcs, interp):
-        return tuple(gatv2_bwd_dst(
-            layout.group_ptr, layout.chunk_sb, salt_a, keep_a, off_a,
-            layout.packed, layout.w, srcs[0].astype(fwd.x_dtype),
-            dsts[0], a_col, dsts[1], dsts[2], dsts[3],
-            **_kw(layout, spec_f, interp)))
-
-    dhd, da = _run_fwd_splits(fwd, fn_dst,
-                              [hd_pad, m_pad, gnum_pad, gden_pad],
-                              [hs_src], salt, keep, 'add', interpret)
-    dhd = dhd[:hd_dst.shape[0]]
 
     return (_zeros_ct(op), dhs, dhd, da.T, _zeros_ct(salt),
             jnp.zeros_like(keep))
