@@ -12,6 +12,10 @@ if 'host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('TEXTGCN_TPU_TEXT_ENCODER', 'stub')
+# mesh-vs-single equivalence tests assert 1e-5 closeness: run the suite
+# with f32 reduce-scatter payloads (production default is bf16; its
+# closeness + byte halving are covered by tests/test_rs_bf16.py)
+os.environ.setdefault('TEXTGCN_TPU_RS_DTYPE', 'f32')
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

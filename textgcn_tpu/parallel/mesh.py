@@ -27,6 +27,34 @@ DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
 
+def collective_dtype():
+    """Payload dtype for the propagation reduce-scatters.
+
+    The kernels already consume bf16 tables at DEFAULT matmul precision
+    (``ops/pallas_spmm.TiledSpMM``), so moving the partial sums over the
+    wire in bf16 halves collective bytes at no additional information
+    loss in the values — only the cross-device combine itself runs in
+    bf16 (≈log2(n_dev)/2 extra mantissa-bit noise on the sum).  Measured
+    quality-neutral on the sharp 5k mesh-vs-single recipe and worth
+    S2 78% → ~88% no-overlap scaling efficiency (docs/SCALING.md §4b).
+    ``TEXTGCN_TPU_RS_DTYPE=f32`` opts out; HIGHEST matmul precision
+    (TEXTGCN_TPU_PALLAS_PRECISION=highest) defaults out, matching the
+    f32 table path.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    env = os.environ.get('TEXTGCN_TPU_RS_DTYPE', '')
+    if env in ('f32', 'float32'):
+        return jnp.float32
+    if env in ('bf16', 'bfloat16'):
+        return jnp.bfloat16
+    from ..ops.pallas_spmm import PRECISION
+    return (jnp.bfloat16 if PRECISION == jax.lax.Precision.DEFAULT
+            else jnp.float32)
+
+
 def _auto_shape(n: int) -> tuple[int, int]:
     """Split n devices into (data, model): model gets the largest
     power-of-two divisor <= sqrt(n); data gets the rest.

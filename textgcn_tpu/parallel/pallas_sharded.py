@@ -188,9 +188,11 @@ class MeshPallasGraphOp:
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, d: int, mesh,
                  interpret: bool = False, x_dtype=None):
+        from .mesh import collective_dtype
         self.mesh = mesh
         self.interpret = interpret
         self.x_dtype = jnp.dtype(x_dtype or self._default_x_dtype())
+        self.rs_dtype = collective_dtype()
         # model-major flat device order: a P('model')- or
         # P(('model','data'))-sharded table reshards into the kernel's
         # source slice locally, with zero communication (SCALING.md
@@ -220,6 +222,7 @@ class MeshPallasGraphOp:
     def _apply(self, layout, x, salt, keep):
         axes = self.axes
         interpret = self.interpret
+        rs_dtype = self.rs_dtype
         x = x.astype(self.x_dtype)
 
         def local(ptr, sb, packed, w_base, dst_ids, src_ids, x, salt,
@@ -243,9 +246,12 @@ class MeshPallasGraphOp:
             # the next layer's source slice, the transpose (backward)
             # kernel's input, and the table-gradient's Adam update
             # (SCALING.md lever 1: 1x transfer instead of 2x, and the
-            # full-table re-gathers disappear)
-            return jax.lax.psum_scatter(out[:layout.n_dst], axes,
-                                        scatter_dimension=0, tiled=True)
+            # full-table re-gathers disappear).  bf16 payload by default
+            # (parallel.mesh.collective_dtype): halves wire bytes
+            res = jax.lax.psum_scatter(
+                out[:layout.n_dst].astype(rs_dtype), axes,
+                scatter_dimension=0, tiled=True)
+            return res.astype(jnp.float32)
 
         fn = jax.shard_map(
             local, mesh=self.mesh,
@@ -274,12 +280,14 @@ class MeshPallasGraphOp:
 
     def tree_flatten(self):
         return (self.l_i2u, self.l_u2i), (self.mesh, self.interpret,
-                                          self.axes, self.x_dtype)
+                                          self.axes, self.x_dtype,
+                                          self.rs_dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = object.__new__(cls)
-        op.mesh, op.interpret, op.axes, op.x_dtype = aux
+        (op.mesh, op.interpret, op.axes, op.x_dtype,
+         op.rs_dtype) = aux
         op.l_i2u, op.l_u2i = children
         return op
 

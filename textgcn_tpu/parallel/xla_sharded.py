@@ -141,7 +141,9 @@ class MeshXlaGraphOp:
 
     def __init__(self, edge_user, edge_item, edge_weight,
                  n_users_t: int, n_items_t: int, mesh):
+        from .mesh import collective_dtype
         self.mesh = mesh
+        self.rs_dtype = collective_dtype()
         # model-major flat order: a P(('model','data')) or P('model')
         # sharded operand reshards into the kernel as a local slice
         self.axes = (MODEL_AXIS, DATA_AXIS)
@@ -157,6 +159,7 @@ class MeshXlaGraphOp:
     def _apply(self, part, x, salt, keep):
         axes = self.axes
         n_dst = part.n_dst
+        rs_dtype = self.rs_dtype
 
         def local(src_loc, dst, w, users, items, x, salt, keep):
             src_loc, dst, w = src_loc[0], dst[0], w[0]
@@ -165,8 +168,11 @@ class MeshXlaGraphOp:
             vals = x[src_loc] * (w * scale)[:, None]
             partial = jax.ops.segment_sum(vals, dst, num_segments=n_dst,
                                           indices_are_sorted=True)
-            return jax.lax.psum_scatter(partial, axes,
-                                        scatter_dimension=0, tiled=True)
+            # bf16 payload by default (parallel.mesh.collective_dtype):
+            # halves wire bytes; local partial sums stay f32
+            out = jax.lax.psum_scatter(partial.astype(rs_dtype), axes,
+                                       scatter_dimension=0, tiled=True)
+            return out.astype(jnp.float32)
 
         fn = jax.shard_map(
             local, mesh=self.mesh,
@@ -192,12 +198,13 @@ class MeshXlaGraphOp:
         return mesh_seg_spmm('to_item', self, user_emb, salt, keep)
 
     def tree_flatten(self):
-        return (self.p_i2u, self.p_u2i), (self.mesh, self.axes)
+        return (self.p_i2u, self.p_u2i), (self.mesh, self.axes,
+                                          self.rs_dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = object.__new__(cls)
-        op.mesh, op.axes = aux
+        op.mesh, op.axes, op.rs_dtype = aux
         op.p_i2u, op.p_u2i = children
         return op
 
