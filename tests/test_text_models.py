@@ -173,6 +173,19 @@ def test_boosted_checkpoint_roundtrip(dummy_dir, tmp_path, monkeypatch):
     p1 = tr.predict(range(3))
     p2 = tr2.predict(range(3))
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    # ...and through the DEVICE path: the reloaded ensemble recompiles
+    # to a Forest (ops/trees.py) whose arrays match the original's —
+    # the predict equality above must not be riding the host fallback
+    import jax
+
+    from textgcn_tpu.ops.trees import compile_forest
+    f1 = compile_forest(tr.model.tree, tr.model.n_features)
+    f2 = compile_forest(tr2.model.tree, tr2.model.n_features)
+    assert f1 is not None and f2 is not None
+    l1, l2 = jax.tree.leaves(f1), jax.tree.leaves(f2)
+    assert len(l1) == len(l2) > 0
+    for a, b in zip(l1, l2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize('extra', [
