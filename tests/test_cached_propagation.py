@@ -235,3 +235,46 @@ def test_cached_gradient_semantics_vs_torch(tmp_path, dummy_dir, rng):
     np.testing.assert_allclose(
         np.asarray(grads['item_emb'])[:data.n_items],
         item_emb.grad.numpy(), atol=2e-5)
+
+
+def test_cached_decomposition_starves_conv_params(tmp_path, dummy_dir):
+    """WHY cached mode is guarded off for the conv family (models/conv.py
+    ``supports_cached_propagation = False``; decision table in SCALE.md
+    "Cached propagation and the conv family"): under ANY fresh-ego +
+    stale-rest decomposition, the ego term is the raw tables — no conv
+    parameter appears in it — and the stale rest is stop-gradded, so
+    every conv parameter (projection matrices, attention vectors,
+    biases) receives EXACTLY zero gradient between refreshes; refreshes
+    recompute activations, not parameters.  The family would train its
+    tables against frozen random convs.  This is structural, not a
+    tuning artifact — pinned here as an executable fact."""
+    from textgcn_tpu.models.conv import ConvModel
+    from textgcn_tpu.models.losses import bpr_loss
+
+    cfg = make_cfg(tmp_path, dummy_dir, model='gat', aggr='mean')
+    data = load_interactions(cfg.data)
+    model = ConvModel(cfg, data)
+    params = model.init_params(jax.random.key(0))
+    inv = 1.0 / (model.n_layers + 1)
+    users = jnp.arange(4)
+    pos = jnp.arange(4)
+    neg = jnp.arange(4, 8)
+
+    def cached_loss(p):
+        # the hypothetical conv cached mode: exact reprs decomposed into
+        # fresh ego + stop-gradded rest (what the scan would carry)
+        u_full, i_full = model.representation(p, training=False)
+        rest_u = jax.lax.stop_gradient(u_full / inv - p['user_emb'])
+        rest_i = jax.lax.stop_gradient(i_full / inv - p['item_emb'])
+        u = (p['user_emb'] + rest_u) * inv
+        i = (p['item_emb'] + rest_i) * inv
+        return bpr_loss(u[users], i[pos], i[neg])
+
+    g = jax.grad(cached_loss)(params)
+    for layer in g['convs']:
+        for name, leaf in layer.items():
+            assert float(jnp.abs(leaf).max()) == 0.0, \
+                f'conv leaf {name} unexpectedly received gradient'
+    # while the tables DO train (the decomposition itself is sound)
+    assert float(jnp.abs(g['user_emb']).max()) > 0.0
+    assert float(jnp.abs(g['item_emb']).max()) > 0.0

@@ -227,9 +227,12 @@ class ConvModel(LightGCN):
     (reference ``TorchGeometric.representation``,
     ``rejected_models.py:27-39``)."""
 
-    # the cached-propagation decomposition (fresh ego + stale propagated
-    # rest) assumes the parameter-free layer-mean combination; conv layers
-    # transform the ego term, so the mode is disabled for this family
+    # cached propagation is OFF for this family as a measured decision
+    # (SCALE.md "Cached propagation and the conv family"): fresh-ego +
+    # stale-rest gives every conv parameter exactly zero gradient
+    # (test_cached_propagation.py pins it), and the stale-attention
+    # alternative's Amdahl ceiling is ~3x for an E-sized alpha carry +
+    # attention vectors training on 1/N of steps — vs 10-12x for lgcn
     supports_cached_propagation = False
 
     # conv propagation runs on the raw edge arrays (or its own unit-weight
@@ -465,4 +468,6 @@ class ConvModel(LightGCN):
 
     def propagate_rest(self, params, dropout_key=None):  # pragma: no cover
         raise NotImplementedError(
-            'cached propagation is unsupported for conv variants')
+            'cached propagation is unsupported for conv variants — '
+            'measured decision, SCALE.md "Cached propagation and the '
+            'conv family"')
