@@ -29,7 +29,7 @@ kernel's fused (user, item, salt) hash mask and the mask-dependent degrees
 as sorted scalar segment-sums over precomputed edge orderings.
 GAT/GATv2 run the block-sparse softmax-attention pipeline over the same
 tile layout (``ops/pallas_gat``: fused online-softmax forward +
-hand-derived two-pass VJP; measured 3.4-3.9x the segment path at the
+hand-derived one-pass VJP; measured 4.3-4.4x the segment path at the
 bench shape).  The segment-op formulation above remains the
 oracle-tested fallback (CPU, ``aggr='max'``, and the mesh path).
 
@@ -272,7 +272,7 @@ class ConvModel(LightGCN):
         """GCN / GraphSAGE(mean|sum) aggregate through the tiled one-hot
         MXU kernel; GAT and GATv2 run the block-sparse softmax-attention
         kernels (``ops/pallas_gat``: fused online-softmax forward +
-        hand-derived two-pass VJP).  Max-aggregation SAGE (not a matmul)
+        hand-derived one-pass VJP).  Max-aggregation SAGE (not a matmul)
         keeps the segment-op path."""
         return (self.backend in ('pallas', 'pallas_interpret')
                 and (self.conv in ('gcn', 'gat', 'gatv2')
