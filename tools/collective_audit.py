@@ -14,6 +14,15 @@ the reference has no multi-device story, so these numbers have no
 reference counterpart to compare against — BASELINE.md's >=80% scaling
 target is the bar instead.
 
+One dtype caveat: the CPU backend legalizes bf16 collectives by
+UPCASTING (a pure-bf16 reduce-scatter compiles to ``f32[..]
+reduce-scatter(wrapped_convert)``), so these compiled-CPU byte counts
+show the propagation reduce-scatters at f32 width even though the
+emitted program carries bf16 payloads (the round-5 default — TPU lowers
+them natively at half these bytes).  tests/test_rs_bf16.py pins the
+emitted dtype at the StableHLO level; docs/SCALING.md §4c carries the
+halved wire model.
+
 Usage (virtual 8-device CPU mesh):
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
