@@ -772,10 +772,11 @@ def _make_bwd2_src_kernel(src_block, dst_block, user_axis, pack):
                 # padding/overlap slots have dz=0 and scatter zeros
                 parts = []
                 for par in range(pack):
-                    ohp = (((src_local // pack)[:, None]
-                            == jax.lax.broadcasted_iota(
-                                jnp.int32, (CHUNK, sub), 1))
-                           & ((src_local % pack) == par)[:, None]) \
+                    # one 2-D i32 compare (src_local == r*pack + par):
+                    # Mosaic cannot insert a minor dim on an i1 vector,
+                    # so the parity test must not be a separate 1-D mask
+                    ohp = (src_local[:, None] == jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, sub), 1) * pack + par) \
                         .astype(jnp.float32)
                     parts.append(_dot(ohp.T, lamdz))
                 contrib = (parts[0] if pack == 1
