@@ -86,8 +86,11 @@ def test_gat_direction_multisplit_matches_segment(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_gatv2_direction_multisplit_matches_segment(rng):
-    op, eu, ei, h_u, h_i = _setup(rng)
+@pytest.mark.parametrize('d', [8, 96])
+def test_gatv2_direction_multisplit_matches_segment(rng, d):
+    """d=8 -> the dhd output packs 16 table rows per 128-lane row;
+    d=96 -> 128 % d != 0, the pack=1 (unpacked) branch."""
+    op, eu, ei, h_u, h_i = _setup(rng, d=d)
     nu = h_u.shape[0]
     key = jax.random.PRNGKey(12)
     salts, keep, m_u = _masks(eu, ei, key, 0.3)
@@ -115,5 +118,10 @@ def test_gatv2_direction_multisplit_matches_segment(rng):
                                   argnums=(0, 1, 2, 3))(h_u, h_i, hd_u, a)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
     for a_, b_ in zip(gk, gs):
-        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
-                                   rtol=1e-4, atol=1e-4)
+        b_ = np.asarray(b_)
+        # atol scales with the gradient's magnitude: d_a is a global
+        # reduction over every edge (|d_a| ~ 1e3 at d=96 on this loss),
+        # where a fixed 1e-4 would demand 1e-7 relative agreement —
+        # below f32 summation-order noise
+        np.testing.assert_allclose(np.asarray(a_), b_, rtol=1e-4,
+                                   atol=1e-4 * (1.0 + np.abs(b_).max()))
