@@ -125,3 +125,17 @@ def test_gatv2_direction_multisplit_matches_segment(rng, d):
         # below f32 summation-order noise
         np.testing.assert_allclose(np.asarray(a_), b_, rtol=1e-4,
                                    atol=1e-4 * (1.0 + np.abs(b_).max()))
+
+
+def test_masked_logit_sentinel_is_bf16_exact():
+    """The NEG sentinel travels through one-hot gather MATMULS that run
+    bf16 at DEFAULT precision; a non-representable sentinel rounds, and
+    sentinel-minus-sentinel then lands at +-1e27 instead of 0 — exp of
+    which is inf, and 0*inf NaN'd every real-chip attention fit at 50k
+    (round 5).  Pin exact bf16 representability."""
+    from textgcn_tpu.ops.pallas_gat import NEG
+    assert float(jnp.asarray(NEG, jnp.bfloat16)) == NEG
+    assert float(jnp.asarray(NEG, jnp.float32)) == NEG
+    # and sentinel arithmetic behaves: exp(0) after an exact round trip
+    m_rounded = float(jnp.asarray(NEG, jnp.bfloat16))
+    assert float(jnp.exp(jnp.float32(NEG - m_rounded))) == 1.0

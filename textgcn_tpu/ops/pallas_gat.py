@@ -61,7 +61,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_spmm import CHUNK, GROUP, PRECISION, _F1, _F2, _M1, _M2, \
     _zeros_ct
 
-NEG = -1e30   # python literals: inlined into kernels, not captured
+# Masked-logit sentinel.  MUST be a power of two: the per-dst max
+# travels through one-hot gather MATMULS (``_dot(oh_dst, m_cur)``,
+# ``_gather_with(m_ref, ...)``) which at DEFAULT precision multiply in
+# bf16 — a non-representable sentinel (the old -1e30) rounds ~0.4%, so
+# for a destination whose max IS the sentinel, ``z - m_e`` came back as
+# +4e27 instead of 0 and ``exp`` overflowed to inf, making the masked
+# slot's ``0 * inf`` a NaN that the scatter spread over the whole dst
+# row.  -2^100 is exactly representable in bf16 (and f32), so every
+# sentinel-minus-sentinel is exactly 0 and every sentinel-minus-finite
+# underflows exp to 0.  Caught by the round-5 50k quality runs (every
+# real-chip attention fit NaN'd at epoch 1); invisible to interpret
+# mode, which runs DEFAULT precision as exact f32.
+NEG = -2.0 ** 100   # python literals: inlined into kernels, not captured
 SLOPE = 0.2   # torch_geometric LeakyReLU default
 
 # the attention kernels sit near Mosaic's default 16 MB scoped-VMEM cap
