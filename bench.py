@@ -12,6 +12,14 @@ Baseline = the reference's computational path (torch sparse COO mm
 propagation + selu BPR + Adam, single device) executed on this host, since
 the reference repo publishes no numbers (BASELINE.md).  The torch step is a
 behavioral stand-in written from the reference's math, not its code.
+
+``vs_baseline`` divides by the PINNED torch number recorded in
+BASELINE.json (median of interleaved idle-host runs, with its
+measurement date) — the live torch-CPU run swings ~2.5x with host load
+(28.6x in r3 vs 19.7x in r4 at an unchanged TPU step), which made the
+one number a regression tracker watches the least trustworthy in the
+line.  The live ratio still rides along in ``extra.vs_baseline_live``.
+Re-pin with ``python bench.py --pin_baseline`` (idle host).
 """
 
 from __future__ import annotations
@@ -328,8 +336,13 @@ def _bench_train_step(model, steps=12):
     n1, n2 = 3, 3 + steps
     r1, r2 = make_run(n1), make_run(n2)
     key = jax.random.key(1)
-    float(r1(params, opt_state, key))
-    float(r2(params, opt_state, key))
+    # a non-finite loss means the path being timed is BROKEN, not slow
+    # — the round-5 attention-sentinel NaN hid behind benches that only
+    # looked at the clock
+    l1 = float(r1(params, opt_state, key))
+    l2 = float(r2(params, opt_state, key))
+    assert np.isfinite(l1) and np.isfinite(l2), \
+        f'non-finite loss in benched train step: {l1}, {l2}'
 
     def t(run, reps=3):
         import statistics
@@ -455,13 +468,66 @@ def bench_eval_torch(n_eval_users=2048):
     return n_eval_users / (time.perf_counter() - t0)
 
 
+def _pinned_baseline() -> dict:
+    """The recorded idle-host torch-CPU reference numbers
+    (BASELINE.json ``pinned_baseline``); {} when never pinned."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BASELINE.json')
+    try:
+        with open(path) as f:
+            return json.load(f).get('pinned_baseline', {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def pin_baseline(reps=5):
+    """Measure and record the pinned torch-CPU baseline: the MEDIAN of
+    ``reps`` interleaved train/eval runs (run on an idle host), stored
+    in BASELINE.json with its measurement date so every future bench
+    divides by the same constant."""
+    import datetime
+    import os
+    train, evalr = [], []
+    for i in range(reps):
+        eps, _ = bench_torch()
+        train.append(eps)
+        evalr.append(bench_eval_torch())
+        print(f'# rep {i + 1}/{reps}: train {eps:.1f} ex/s, '
+              f'eval {evalr[-1]:.1f} users/s', flush=True)
+    pinned = {
+        'train_examples_per_s': round(float(np.median(train)), 1),
+        'eval_users_per_s': round(float(np.median(evalr)), 1),
+        'spread': [round(min(train), 1), round(max(train), 1)],
+        'reps': reps,
+        'measured': datetime.date.today().isoformat(),
+        'protocol': 'median of interleaved bench_torch/bench_eval_torch '
+                    'runs on an idle host',
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BASELINE.json')
+    with open(path) as f:
+        doc = json.load(f)
+    doc['pinned_baseline'] = pinned
+    with open(path, 'w') as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({'pinned_baseline': pinned}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=30)
     ap.add_argument('--skip_baseline', action='store_true')
     ap.add_argument('--skip_extras', action='store_true',
                     help='skip the adv_sampling / LTR-eval extra metrics')
+    ap.add_argument('--pin_baseline', action='store_true',
+                    help='(idle host) re-measure and record the pinned '
+                         'torch baseline in BASELINE.json, then exit')
     args = ap.parse_args()
+
+    if args.pin_baseline:
+        pin_baseline()
+        return
 
     from textgcn_tpu.cli import setup_compilation_cache
     setup_compilation_cache()
@@ -470,6 +536,7 @@ def main():
     eval_ups = bench_eval_jax()
     adv_ms = adv_eps = ltr_ups = serving_ups = cached_eps = None
     conv_ms = conv_eps = gat_ms = text_ms = text_eps = None
+    gatv2_ms = sage_ms = None
     if not args.skip_extras:
         adv_ms, adv_eps = bench_adv_jax()
         ltr_ups = bench_ltr_eval()
@@ -477,6 +544,11 @@ def main():
         cached_eps, _ = bench_jax(steps=args.steps, refresh=8)
         conv_ms, conv_eps = bench_conv_jax()
         gat_ms, _ = bench_conv_jax(conv='gat')
+        # regression keys for every attention/SAGE kernel variant: the
+        # gatv2 VMEM overflow (commit ef77903) was invisible to a bench
+        # that only ran gcn/gat
+        gatv2_ms, _ = bench_conv_jax(conv='gatv2')
+        sage_ms, _ = bench_conv_jax(conv='graphsage')
         text_ms, text_eps = bench_text_jax()
     if args.skip_baseline:
         torch_eps = eval_ups_t = None
@@ -484,14 +556,23 @@ def main():
         torch_eps, torch_step = bench_torch()
         eval_ups_t = bench_eval_torch()
 
+    # regression ratio against the PINNED constant; the live host ratio
+    # rides along (host load swings it ~2.5x, BASELINE.md)
+    pinned = _pinned_baseline().get('train_examples_per_s')
+    vs_pinned = round(jax_eps / pinned, 2) if pinned else None
+    vs_live = round(jax_eps / torch_eps, 2) if torch_eps else None
+
     import jax
     result = {
         'metric': 'bpr_train_examples_per_s_per_chip',
         'value': round(jax_eps, 1),
         'unit': 'examples/s',
-        'vs_baseline': round(jax_eps / torch_eps, 2) if torch_eps else None,
+        'vs_baseline': vs_pinned if vs_pinned else vs_live,
         'extra': {
             'step_ms': round(jax_step * 1e3, 2),
+            'vs_baseline_pinned': vs_pinned,
+            'vs_baseline_live': vs_live,
+            'pinned_baseline_examples_per_s': pinned,
             'baseline_examples_per_s': round(torch_eps, 1)
             if torch_eps else None,
             'eval_users_per_s': round(eval_ups, 1),
@@ -509,6 +590,9 @@ def main():
             'conv_gcn_examples_per_s': round(conv_eps, 1)
             if conv_eps else None,
             'conv_gat_step_ms': round(gat_ms, 2) if gat_ms else None,
+            'conv_gatv2_step_ms': round(gatv2_ms, 2) if gatv2_ms else None,
+            'conv_graphsage_step_ms': round(sage_ms, 2)
+            if sage_ms else None,
             'text_kg_step_ms': round(text_ms, 2) if text_ms else None,
             'text_kg_examples_per_s': round(text_eps, 1)
             if text_eps else None,
