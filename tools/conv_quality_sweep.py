@@ -76,6 +76,10 @@ def main():
             check=True, cwd=REPO)
 
     base = os.path.basename(os.path.normpath(args.data))
+    # the axon relay occasionally wedges a client's device RPCs
+    # indefinitely (fresh processes recover it): make each run abort
+    # instead of hanging, and retry in a new process
+    env = dict(os.environ, TEXTGCN_TPU_DEVICE_TIMEOUT_S='600')
     for pair in args.models.split(','):
         model, seed = pair.split(':')
         uid = f'qsweep-{model}-s{seed}'
@@ -88,7 +92,16 @@ def main():
         if model in CONVS:
             cmd += ['--aggr', 'mean']
         t0 = time.perf_counter()
-        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        for attempt in range(3):
+            r = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                               text=True, env=env)
+            if r.returncode == 0:
+                break
+            print(f'# {uid} attempt {attempt + 1} failed (rc='
+                  f'{r.returncode}); tail: '
+                  f'{(r.stderr or r.stdout)[-300:]!r}', file=sys.stderr,
+                  flush=True)
+            time.sleep(120)   # give the relay time to recover
         wall = time.perf_counter() - t0
         row = {'model': model, 'seed': int(seed), 'wall_s': round(wall, 1)}
         if r.returncode != 0:
