@@ -32,15 +32,16 @@ def main():
     ap.add_argument('--d', type=int, default=64)
     ap.add_argument('--edges', type=int, default=511_000)
     ap.add_argument('--models', default='gat,gatv2')
-    ap.add_argument('--rtol', type=float, default=5e-2,
-                    help='relative tolerance on max|grad| scale: the '
-                         'kernel consumes bf16 tables at DEFAULT '
-                         'precision (the segment oracle is f32), so a '
-                         'few %% of max-norm is expected input '
-                         'rounding; the check exists to catch '
-                         'non-finites and gross miscompiles (set '
-                         'TEXTGCN_TPU_PALLAS_XDTYPE=f32 + '
-                         '--rtol 2e-3 for a tight numeric run)')
+    ap.add_argument('--rtol', type=float, default=2e-2,
+                    help='relative-L2 gradient tolerance: the kernel '
+                         'consumes bf16 tables at DEFAULT precision '
+                         '(the segment oracle is f32), so ~0.5%% L2 is '
+                         'expected input rounding; the check exists to '
+                         'catch non-finites and gross miscompiles. '
+                         'For an exact run: '
+                         'TEXTGCN_TPU_PALLAS_XDTYPE=f32 '
+                         'TEXTGCN_TPU_PALLAS_PRECISION=highest '
+                         '--rtol 1e-4 (measured ~1e-6 at 50k).')
     ap.add_argument('--interpret', action='store_true',
                     help='interpret-mode kernels (CPU debugging); the '
                          'default is the real Mosaic compilation — the '
@@ -138,13 +139,18 @@ def main():
               flush=True)
         failed |= not ok
         for i, (x, y) in enumerate(zip(grads_k, grads_s)):
-            x, y = np.asarray(x), np.asarray(y)
+            x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
             scale = np.abs(y).max() + 1e-9
             err = np.abs(x - y).max()
-            ok = np.isfinite(x).all() and err / scale <= args.rtol
+            # gate on relative L2: single elements with heavy
+            # cancellation show large max-norm deviations under the
+            # production bf16 table rounding (measured: gatv2 d_hd 26%
+            # max-norm, 0.5% L2 at 50k; the f32 run is ~1e-6 on both)
+            l2 = np.linalg.norm(x - y) / (np.linalg.norm(y) + 1e-9)
+            ok = np.isfinite(x).all() and l2 <= args.rtol
             print(f'  grad[{i}]: maxabs={scale:.4g} maxerr={err:.4g} '
-                  f'rel={err / scale:.3g} {"OK" if ok else "FAIL"}',
-                  flush=True)
+                  f'rel_max={err / scale:.3g} rel_l2={l2:.3g} '
+                  f'{"OK" if ok else "FAIL"}', flush=True)
             failed |= not ok
     print('RESULT', 'FAIL' if failed else 'PASS')
     sys.exit(1 if failed else 0)
